@@ -1,0 +1,156 @@
+"""Lightweight cv2-based augmentation pipeline.
+
+Replaces the reference's imgaug sequences
+(datasets/mnistiseg/mnistiseg_ds.py:45-58): one random geometric op
+(translate ±15 px / scale 0.8–1.2 / rotate ±15° / shear ±5°, edge-padded)
+followed by one random photometric op (gaussian noise / impulse noise /
+gaussian blur / hue shift ±50).
+
+Semantics kept from ``BaseFewShotISEG.augment_with_imgaug``
+(datasets/fewshotiseg/base_fst.py:734-770): boxes ride along as warped
+corner AABBs, masks are warped with nearest interpolation, and if any box
+lands fully outside the image the whole augmentation is discarded.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Tuple
+
+import cv2
+import numpy as np
+
+
+class Augmenter:
+    def __init__(
+        self,
+        geometric: bool = True,
+        photometric: bool = True,
+        translate_px: int = 15,
+        scale_range: Tuple[float, float] = (0.8, 1.2),
+        rotate_deg: float = 15.0,
+        shear_deg: float = 5.0,
+        hue_shift: int = 50,
+    ):
+        self.geometric = geometric
+        self.photometric = photometric
+        self.translate_px = translate_px
+        self.scale_range = scale_range
+        self.rotate_deg = rotate_deg
+        self.shear_deg = shear_deg
+        self.hue_shift = hue_shift
+
+    # -- geometric ---------------------------------------------------------
+
+    def _sample_affine(self, h: int, w: int) -> np.ndarray:
+        op = random.randrange(4)
+        cx, cy = w / 2.0, h / 2.0
+        if op == 0:  # translate
+            tx = random.uniform(-self.translate_px, self.translate_px)
+            ty = random.uniform(-self.translate_px, self.translate_px)
+            return np.array([[1, 0, tx], [0, 1, ty]], np.float64)
+        if op == 1:  # scale about center
+            s = random.uniform(*self.scale_range)
+            return np.array(
+                [[s, 0, cx * (1 - s)], [0, s, cy * (1 - s)]], np.float64
+            )
+        if op == 2:  # rotate about center
+            a = random.uniform(-self.rotate_deg, self.rotate_deg)
+            return cv2.getRotationMatrix2D((cx, cy), a, 1.0)
+        # shear about center
+        sh = np.tan(np.deg2rad(random.uniform(-self.shear_deg, self.shear_deg)))
+        return np.array([[1, sh, -sh * cy], [0, 1, 0]], np.float64)
+
+    @staticmethod
+    def _warp_boxes(m: np.ndarray, boxes_yxyx: np.ndarray) -> np.ndarray:
+        if len(boxes_yxyx) == 0:
+            return boxes_yxyx
+        y1, x1, y2, x2 = (boxes_yxyx[:, i] for i in range(4))
+        corners = np.stack(
+            [
+                np.stack([x1, y1], -1),
+                np.stack([x2, y1], -1),
+                np.stack([x1, y2], -1),
+                np.stack([x2, y2], -1),
+            ],
+            axis=1,
+        )  # (n, 4, 2) as (x, y)
+        ones = np.ones((*corners.shape[:2], 1))
+        warped = np.concatenate([corners, ones], -1) @ m.T  # (n, 4, 2)
+        nx1 = warped[..., 0].min(1)
+        nx2 = warped[..., 0].max(1)
+        ny1 = warped[..., 1].min(1)
+        ny2 = warped[..., 1].max(1)
+        return np.stack([ny1, nx1, ny2, nx2], -1).astype(np.float32)
+
+    # -- photometric -------------------------------------------------------
+
+    def _photometric(self, img: np.ndarray) -> np.ndarray:
+        op = random.randrange(4)
+        if op == 0:  # additive gaussian noise, scale 1
+            noise = np.random.normal(0, 1.0, img.shape)
+            return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+        if op == 1:  # impulse noise on ~3% of pixels
+            out = img.copy()
+            mask = np.random.rand(*img.shape[:2]) < 0.03
+            out[mask] = np.random.randint(0, 256, (int(mask.sum()), 3))
+            return out
+        if op == 2:  # gaussian blur
+            sigma = random.uniform(0.3, 1.5)
+            return cv2.GaussianBlur(img, (0, 0), sigma)
+        # hue shift (RGB input)
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int16)
+        hsv[..., 0] = (hsv[..., 0] + random.randint(-self.hue_shift, self.hue_shift)) % 180
+        return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+    # -- pipeline ----------------------------------------------------------
+
+    def __call__(
+        self,
+        img: np.ndarray,
+        bboxes_yxyx: np.ndarray,
+        isegmaps: Optional[np.ndarray] = None,
+    ):
+        h, w = img.shape[:2]
+        new_img, new_boxes, new_masks = img, bboxes_yxyx, isegmaps
+
+        if self.geometric:
+            m = self._sample_affine(h, w)
+            warped_img = cv2.warpAffine(
+                img, m, (w, h), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_REPLICATE,
+            )
+            boxes = self._warp_boxes(m, np.asarray(bboxes_yxyx).reshape(-1, 4))
+            # Reject if any box is fully outside (reference behaviour).
+            bad = False
+            clipped = boxes.copy()
+            for i, b in enumerate(boxes):
+                if b[2] <= 0 or b[3] <= 0 or b[0] >= h or b[1] >= w:
+                    bad = True
+                    break
+                clipped[i] = [
+                    max(b[0], 0), max(b[1], 0), min(b[2], h), min(b[3], w)
+                ]
+            if not bad:
+                new_img = warped_img
+                new_boxes = clipped.astype(np.float32)
+                if isegmaps is not None and len(isegmaps):
+                    masks = np.asarray(isegmaps).astype(np.uint8)
+                    warped = [
+                        cv2.warpAffine(
+                            mm, m, (w, h), flags=cv2.INTER_NEAREST,
+                            borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+                        )
+                        for mm in masks
+                    ]
+                    new_masks = np.stack(warped).astype(bool)
+
+        if self.photometric:
+            new_img = self._photometric(np.ascontiguousarray(new_img))
+
+        if new_masks is None:
+            new_masks = isegmaps
+        return new_img, np.asarray(new_boxes, np.float32).reshape(-1, 4), new_masks
+
+
+IDENTITY = Augmenter(geometric=False, photometric=False)
