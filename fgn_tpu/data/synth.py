@@ -115,8 +115,8 @@ def paste_colored_char_img(
     region[yy, xx] = colored[yy, xx]
 
     if len(bboxes) != 0:
-        bboxes = np.row_stack((bboxes, bbox))
-        colors = np.row_stack((colors, color))
+        bboxes = np.vstack((bboxes, bbox))
+        colors = np.vstack((colors, color))
     else:
         bboxes = np.array([bbox])
         colors = np.array([color])

@@ -34,8 +34,10 @@ def _self_suppress_block(iou_bb: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray
     iou_bb: (B, B) IoU > threshold adjacency (bool), valid: (B,) bool.
     """
     B = valid.shape[0]
-    tri = jnp.tril(jnp.ones((B, B), dtype=bool), k=-1)  # k strictly before j
-    adj = iou_bb & tri  # adj[k, j]: k can suppress j
+    # adj[k, j] = "k can suppress j": requires k strictly earlier (k < j),
+    # i.e. the strict upper triangle along the row (suppressor) axis.
+    tri = jnp.triu(jnp.ones((B, B), dtype=bool), k=1)
+    adj = iou_bb & tri
 
     def cond(state):
         keep, prev, it = state
