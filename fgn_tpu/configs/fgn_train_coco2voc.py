@@ -1,0 +1,40 @@
+# Stage-1 training on COCO2VOC base classes (reference fgn_train.py).
+_base_ = ["fgn_r50_c4_densecl.py", "fgn_train_schedule.py"]
+
+train_ds_cfg = dict(
+    n_ways=3,
+    k_shots=3,
+    ds_base_="COCO",
+    ds_base__subset="train",
+    ds_novel="VOC",
+    ds_novel_subset="val",
+    sampling_origin_ds="COCO",
+    sampling_origin_ds_subset="train",
+    sampling_cats="base_",
+    augment_qry=True,
+    augment_spp=True,
+    sampling_scenario="parents",
+    repeats=1,
+    shuffle=True,
+    qry_cats_choice_random=True,
+    qry_cats_order_shuffle=True,
+    spp_random=True,
+    delete_qry_insts_in_spp_insts_on_train=True,
+    finetune="Ignore",
+    spp_fill_ratio=0.8,
+    batch=8,
+)
+
+eval_ds_cfg0 = dict(
+    train_ds_cfg,
+    sampling_origin_ds_subset="val",
+    shuffle=False,
+    augment_qry=False,
+    augment_spp=False,
+    batch=4,
+)
+
+work_dir = "runs/coco2voc_dcl"
+batch_size = 8
+eval_batch_size = 4
+max_gt = 30

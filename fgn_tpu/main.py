@@ -1,0 +1,160 @@
+"""Train / finetune / evaluate driver.
+
+Rebuild of the reference entry point
+(subprojects/sp02_omniiseg_fgn_mmdet/main.py:364-501): ``main(cfg)``
+builds the episodic dataset(s), the FGN model, the optimizer and runner,
+wires eval hooks discovered by ``eval_ds_cfg\\d`` key scan, handles the
+finetune merge path (ft_ds_cfg0 + ft_ds_cfg1 → merge_ds), and resumes
+from checkpoints. The N/K consistency asserts between model and dataset
+configs are kept (reference main.py:396-400).
+
+Usage:
+    python -m fgn_tpu.main fgn_tpu/configs/fgn_train_mnistiseg_n1k1.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import sys
+from typing import Dict, List, Optional
+
+import jax
+
+from fgn_tpu.config import Config
+from fgn_tpu.data.fst_bindings import init_ds_class_by_config
+from fgn_tpu.models.fgn import FGN, FGNConfig
+from fgn_tpu.parallel.mesh import make_mesh
+from fgn_tpu.train.evaluator import Evaluator
+from fgn_tpu.train.loop import Runner
+from fgn_tpu.train.optim import build_optimizer, make_lr_schedule
+from fgn_tpu.train.train_step import make_eval_step, make_train_step
+
+
+def model_config_from_cfg(cfg: Config) -> FGNConfig:
+    fields = {f.name for f in dataclasses.fields(FGNConfig)}
+    kwargs = {k: v for k, v in dict(cfg.model).items() if k in fields}
+    for k in ("anchor_scales", "anchor_ratios", "rcnn_bbox_stds"):
+        if k in kwargs:
+            kwargs[k] = tuple(kwargs[k])
+    return FGNConfig(**kwargs)
+
+
+def batch_heuristic(n_ways: int, k_shots: int) -> int:
+    """Reference batch-size heuristic by (N, K)
+    (main.py:487-501): N1K1 → 12, N3K1 → 10, N3K3 → 8."""
+    if n_ways == 1 and k_shots == 1:
+        return 12
+    if n_ways == 3 and k_shots == 1:
+        return 10
+    return 8
+
+
+def _init_params(model: FGN, ds, batch_size: int, max_gt: int, pad_hw=None):
+    """Initialize parameters from one real batch (jitted — eager init is
+    minutes on a slow host)."""
+    from fgn_tpu.data.batching import collate_episodes
+
+    samples = [ds[i] for i in range(min(batch_size, len(ds)))]
+    batch, _ = collate_episodes(samples, ds.normalize, max_gt=max_gt, pad_hw=pad_hw)
+    init = jax.jit(
+        lambda k, b, r: model.init(k, b, r, method=FGN.train_forward)
+    )
+    params = init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+    return params, batch
+
+
+def main(cfg: Config):
+    mcfg = model_config_from_cfg(cfg)
+    model = FGN(cfg=mcfg)
+
+    # --- datasets -------------------------------------------------------
+    is_ft = "ft_ds_cfg0" in cfg
+    if is_ft:
+        ds0 = init_ds_class_by_config(cfg.ft_ds_cfg0)
+        ds1 = init_ds_class_by_config(cfg.ft_ds_cfg1)
+        ds0.merge_ds(ds1)
+        train_ds = ds0
+    else:
+        train_ds = init_ds_class_by_config(cfg.train_ds_cfg)
+
+    # N/K consistency (reference main.py:396-400)
+    assert train_ds.n_ways == mcfg.n_ways
+    assert train_ds.k_shots == mcfg.k_shots
+
+    batch_size = int(cfg.get("batch_size") or batch_heuristic(mcfg.n_ways, mcfg.k_shots))
+    max_gt = int(cfg.get("max_gt", 30))
+
+    # --- model / optimizer ----------------------------------------------
+    params, example_batch = _init_params(model, train_ds, batch_size, max_gt)
+
+    maybe_ckpt = cfg.get("checkpoint_fp") or ""
+    if maybe_ckpt:
+        from fgn_tpu.models.convert import load_torch_backbone
+
+        params = load_torch_backbone(params, maybe_ckpt)
+
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    schedule = make_lr_schedule(
+        base_lr=float(cfg.optimizer.lr),
+        steps_per_epoch=steps_per_epoch,
+        **{k: v for k, v in dict(cfg.lr_schedule).items()},
+    )
+    tx = build_optimizer(
+        params,
+        base_lr=float(cfg.optimizer.lr),
+        weight_decay=float(cfg.optimizer.weight_decay),
+        optimizer=cfg.optimizer.type,
+        roi_head_lr_mult=float(cfg.optimizer.get("roi_head_lr_mult", 0.1)),
+        schedule=schedule,
+    )
+    opt_state = tx.init(params)
+
+    mesh = make_mesh()
+    train_step, mesh = make_train_step(model, tx, mesh)
+    eval_step, _ = make_eval_step(model, mesh)
+
+    # --- eval hooks (key scan like reference main.py:453-475) ------------
+    evaluators: List[Evaluator] = []
+    for key in sorted(cfg):
+        if re.fullmatch(r"eval_ds_cfg\d+", key):
+            eval_ds = init_ds_class_by_config(cfg[key])
+            evaluators.append(
+                Evaluator(
+                    model, eval_ds,
+                    batch_size=int(cfg.get("eval_batch_size", 4)),
+                    eval_step=eval_step,
+                    work_dir=str(cfg.work_dir),
+                    max_gt=max_gt,
+                    mask_thr=mcfg.mask_thr,
+                )
+            )
+
+    # --- stage-1 checkpoint for FT (reference main_ft.py:104-109) --------
+    if is_ft and cfg.get("init_from"):
+        from fgn_tpu.train.checkpoints import CheckpointManager
+
+        src = CheckpointManager(str(cfg.init_from))
+        restored = src.restore(template={"params": params, "opt_state": opt_state, "extra": {}})
+        if restored is not None:
+            params = restored[1]["params"]
+            print(f"Initialized from stage-1 checkpoint at step {restored[0]}")
+
+    runner = Runner(
+        model, params, opt_state, train_step, train_ds,
+        batch_size=batch_size,
+        work_dir=str(cfg.work_dir),
+        mesh=mesh,
+        max_epochs=int(cfg.get("max_epochs", 3)),
+        evaluators=evaluators,
+        max_gt=max_gt,
+        max_keep_ckpts=int(cfg.get("max_keep_ckpts", 3)),
+        log_interval=int(cfg.get("log_interval", 50)),
+    )
+    runner.resume()
+    return runner.run()
+
+
+if __name__ == "__main__":
+    config = Config.from_file(sys.argv[1])
+    main(config)

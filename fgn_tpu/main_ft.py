@@ -1,0 +1,54 @@
+"""Finetune grid driver.
+
+Rebuild of the reference's main_ft.py:54-137: grid over
+step-γ ∈ {.01, .05, .1} × (N, K) ∈ {(1,1), (3,1), (3,3)}, mutating the
+base finetune config per cell (N/K into model + dataset configs, per-N-K
+stage-1 checkpoint, per-cell work_dir), skipping work_dirs that already
+exist (crash resumability).
+
+Usage:
+    python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_coco2voc.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from fgn_tpu.config import Config
+from fgn_tpu.main import batch_heuristic, main
+
+GAMMAS = (0.01, 0.05, 0.1)
+NK_GRID = ((1, 1), (3, 1), (3, 3))
+
+
+def run_grid(base_cfg_fp: str, cooldown_s: int = 0):
+    for gamma in GAMMAS:
+        for n, k in NK_GRID:
+            cfg = Config.from_file(base_cfg_fp)
+            cfg.model.n_ways = n
+            cfg.model.k_shots = k
+            for key in list(cfg):
+                if key.startswith(("ft_ds_cfg", "eval_ds_cfg", "train_ds_cfg")):
+                    cfg[key]["n_ways"] = n
+                    cfg[key]["k_shots"] = k
+            cfg.lr_schedule.gamma = gamma
+            cfg.batch_size = batch_heuristic(n, k)
+            cell = f"N{n}K{k}_G{gamma}"
+            cfg.work_dir = os.path.join(str(cfg.work_dir), cell)
+            if cfg.get("init_from"):
+                cand = f"{cfg.init_from}_N{n}K{k}"
+                if os.path.isdir(cand):
+                    cfg.init_from = cand
+            if os.path.isdir(str(cfg.work_dir)):
+                print(f"Skipping existing {cfg.work_dir}")
+                continue
+            print(f"=== FT grid cell {cell} ===")
+            main(cfg)
+            if cooldown_s:
+                time.sleep(cooldown_s)
+
+
+if __name__ == "__main__":
+    run_grid(sys.argv[1])

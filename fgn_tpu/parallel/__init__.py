@@ -1,0 +1,6 @@
+from fgn_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    batch_sharding,
+)

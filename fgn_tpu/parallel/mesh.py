@@ -1,0 +1,45 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-process single-GPU (SURVEY.md §2.8); the one real
+parallelism axis for this workload is the episode batch. Accordingly:
+
+  * 1-D mesh over all devices, axis ``data``;
+  * episode batches sharded on their leading axis;
+  * parameters and optimizer state replicated;
+  * gradients are averaged by XLA-inserted collectives (psum over ICI)
+    when the loss is jitted with these shardings — no hand-written
+    NCCL/MPI equivalent is needed.
+
+At ResNet-50-C4 scale tensor/pipeline parallelism buys nothing (model
+~60 MB); the mesh helpers still accept an arbitrary device list so a
+multi-host run shards its per-host batch the same way.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for arrays whose leading axis is the episode batch."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place every array of an EpisodeBatch pytree with its leading axis
+    sharded over the mesh."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,144 @@
+"""Episodic evaluation driver.
+
+Rebuild of the reference's OptEvalHook + FGN.simple_test result plumbing
+(subprojects/sp02_omniiseg_fgn_mmdet/main.py:259-345, fgn.py:188-303):
+
+  * jitted inference producing fixed-size detections;
+  * full-image masks pasted on device, RLE-encoded on host;
+  * per-episode result dicts (same keys as the reference) flushed to
+    pickle chunks of ``chunk_size``;
+  * FSISEGEval over both bbox and segm, metric tags in the reference's
+    TB scheme ``{ds}_{subset}_FT_{mode}/{metric}_{cats}[_{scenario}]``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fgn_tpu.data import rle as RLE
+from fgn_tpu.data.batching import EpisodeLoader
+from fgn_tpu.data.fsisegeval import FSISEGEval
+from fgn_tpu.ops.mask_paste import paste_masks
+from fgn_tpu.ops.boxes import xyxy_to_yxyx
+from fgn_tpu.utils.io import create_empty_dir_unsafe, write_pkl_unsafe
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _paste_batch(mask_logits, boxes, H: int, W: int, thr: float):
+    """(B, D, m, m) logits + (B, D, 4) XYXY → (B, D, H, W) bool."""
+    B, D = mask_logits.shape[:2]
+    probs = jax.nn.sigmoid(mask_logits.reshape(B * D, *mask_logits.shape[2:]))
+    out = paste_masks(probs, boxes.reshape(B * D, 4), H, W, threshold=thr)
+    return out.reshape(B, D, H, W)
+
+
+class Evaluator:
+    def __init__(
+        self,
+        model,
+        ds,
+        batch_size: int,
+        eval_step,
+        work_dir: str,
+        max_gt: int = 30,
+        mask_thr: float = 0.5,
+        chunk_size: int = 1000,
+        pad_hw=None,
+        tag: Optional[str] = None,
+    ):
+        self.model = model
+        self.ds = ds
+        self.batch_size = batch_size
+        self.eval_step = eval_step
+        self.work_dir = work_dir
+        self.max_gt = max_gt
+        self.mask_thr = mask_thr
+        self.chunk_size = chunk_size
+        self.pad_hw = pad_hw
+        # Reference tag scheme (main.py:323-333).
+        self.tag = tag or (
+            f"{ds.sampling_origin_ds}_{ds.sampling_origin_ds_subset}"
+            f"_FT_{ds.finetune}"
+        )
+        self.cats_suffix = (
+            f"{ds.sampling_cats.rstrip('_')}_{ds.sampling_scenario}"
+        )
+
+    def run(self, params) -> Dict[str, float]:
+        loader = EpisodeLoader(
+            self.ds, self.batch_size, max_gt=self.max_gt,
+            pad_hw=self.pad_hw, drop_last=False, keep_gt_masks=True,
+        )
+        results_dir = os.path.join(self.work_dir, "results_pkl")
+        create_empty_dir_unsafe(results_dir)
+
+        results: List[dict] = []
+        n_flushed = 0
+
+        def flush():
+            nonlocal results, n_flushed
+            if results:
+                write_pkl_unsafe(
+                    os.path.join(results_dir, f"chunk_{n_flushed:05}.pkl"),
+                    results,
+                )
+                n_flushed += 1
+                results = []
+
+        for batch, meta in loader:
+            out = self.eval_step(params, batch)
+            out = jax.tree_util.tree_map(np.asarray, out)
+            H, W = batch.qry_img.shape[1:3]
+            masks = np.asarray(
+                _paste_batch(
+                    jnp.asarray(out["dt_mask_logits"]),
+                    jnp.asarray(out["dt_boxes"]),
+                    int(H), int(W), self.mask_thr,
+                )
+            )
+            B = batch.qry_img.shape[0]
+            for b in range(B):
+                valid = out["dt_valid"][b]
+                dt_boxes = out["dt_boxes"][b][valid]
+                h, w = batch.img_hw[b]
+                res = {
+                    "idx": int(meta.idx[b]),
+                    "qry_child_idx": int(meta.qry_child_idx[b]),
+                    "cats_ids_to_sample_real": meta.cats_ids_to_sample_real[b],
+                    "spp_insts_ids": meta.spp_insts_ids[b],
+                    "qry_img_shape": np.array([h, w, 3], np.int32),
+                    "qry_bboxes": meta.qry_bboxes_yxyx[b],
+                    "qry_cat_ids": meta.qry_cat_ids[b],
+                    "qry_cat_ids_real": meta.qry_cat_ids_real[b],
+                    "qry_isegmaps_rle": RLE.encode_mask_results(
+                        meta.qry_isegmaps[b]
+                    ),
+                    "dt_scores": out["dt_scores"][b][valid],
+                    "dt_bboxes": xyxy_to_yxyx(dt_boxes),
+                    "dt_cat_ids": out["dt_cats"][b][valid],
+                    "dt_isegmaps_rle": RLE.encode_mask_results(
+                        masks[b][valid][:, : int(h), : int(w)]
+                    ),
+                }
+                results.append(res)
+                if len(results) >= self.chunk_size:
+                    flush()
+        flush()
+
+        metrics: Dict[str, float] = {}
+        for iou_type, short in (("bbox", "bbox"), ("segm", "isegm")):
+            ev = FSISEGEval(
+                results_pkl_dir_fp=results_dir,
+                n_ways=self.ds.n_ways,
+                iou_type=iou_type,
+            )
+            out_m = ev.run()
+            metrics[f"{self.tag}/{short}_mAP_{self.cats_suffix}"] = out_m["mAP"]
+            metrics[f"{self.tag}/{short}_mAR_{self.cats_suffix}"] = out_m["mAR"]
+        return metrics

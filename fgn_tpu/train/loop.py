@@ -1,0 +1,172 @@
+"""Training runner: epochs over episode loaders, TB metrics, mid-epoch
+checkpoint + eval, resume.
+
+Rebuild of the reference's OptEpochBasedRunner / main(cfg)
+(subprojects/sp02_omniiseg_fgn_mmdet/main.py:79-257,364-484):
+
+  * per-iter wall time → ``Time/TrainStep``; per-epoch → ``Time/TrainEpoch``;
+    per-eval → ``Time/Evaluation`` (reference tag names kept);
+  * LR logged per step; loss scalars under ``Train/``;
+  * mid-epoch checkpoint + eval every ``max(2000, len/8)`` iters,
+    soft-failing (warn and continue) like the reference's try/except
+    (main.py:157-177);
+  * per-epoch dataset reshuffle(epoch);
+  * resume restores params/opt_state/step/epoch + dataset state.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import traceback
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from fgn_tpu.data.batching import EpisodeLoader
+from fgn_tpu.parallel.mesh import shard_batch
+from fgn_tpu.train.checkpoints import CheckpointManager
+from fgn_tpu.utils.timers import datetime_log_fancy
+
+
+class Runner:
+    def __init__(
+        self,
+        model,
+        params,
+        opt_state,
+        train_step,
+        train_ds,
+        batch_size: int,
+        work_dir: str,
+        mesh=None,
+        max_epochs: int = 3,
+        evaluators: Optional[List] = None,
+        eval_interval_iters: Optional[int] = None,
+        max_gt: int = 30,
+        pad_hw=None,
+        max_keep_ckpts: int = 3,
+        log_interval: int = 50,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.params = params
+        self.opt_state = opt_state
+        self.train_step = train_step
+        self.train_ds = train_ds
+        self.batch_size = batch_size
+        self.work_dir = work_dir
+        self.mesh = mesh
+        self.max_epochs = max_epochs
+        self.evaluators = evaluators or []
+        self.max_gt = max_gt
+        self.pad_hw = pad_hw
+        self.log_interval = log_interval
+        self.rng = jax.random.PRNGKey(seed)
+        self.step = 0
+        self.epoch = 0
+
+        os.makedirs(work_dir, exist_ok=True)
+        self.ckpt = CheckpointManager(work_dir, max_keep=max_keep_ckpts)
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(os.path.join(work_dir, "tb"))
+        except Exception:
+            self.tb = None
+
+        steps_per_epoch = max(len(train_ds) // batch_size, 1)
+        # Mid-epoch cadence (reference: main.py:153-177,230-238).
+        self.part = eval_interval_iters or max(2000, steps_per_epoch // 8)
+
+    # -- logging ---------------------------------------------------------
+
+    def _scalar(self, tag: str, value: float):
+        if self.tb is not None:
+            self.tb.add_scalar(tag, float(value), self.step)
+
+    # -- checkpoint + eval -----------------------------------------------
+
+    def check(self):
+        """Checkpoint then run all eval hooks; soft-fail like the
+        reference (main.py:157-177)."""
+        try:
+            self.ckpt.save(
+                self.step, self.params, self.opt_state,
+                extra={"epoch": self.epoch, "ds_state": self.train_ds.state_dict()},
+            )
+        except Exception:
+            print("WARNING: checkpoint save failed")
+            traceback.print_exc()
+        for ev in self.evaluators:
+            try:
+                t0 = time.monotonic()
+                metrics = ev.run(self.params)
+                self._scalar("Time/Evaluation", (time.monotonic() - t0) * 1000)
+                for k, v in metrics.items():
+                    self._scalar(k, v)
+                print(f"[{datetime_log_fancy()}] step {self.step} eval:", metrics)
+            except Exception:
+                print("WARNING: evaluation failed")
+                traceback.print_exc()
+
+    def resume(self) -> bool:
+        restored = self.ckpt.restore(
+            template={
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "extra": {"epoch": 0, "ds_state": self.train_ds.state_dict()},
+            }
+        )
+        if restored is None:
+            return False
+        step, state = restored
+        self.step = step
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.epoch = int(state["extra"]["epoch"])
+        try:
+            self.train_ds.load_state_dict(state["extra"]["ds_state"])
+        except Exception:
+            pass
+        print(f"Resumed from step {self.step} (epoch {self.epoch})")
+        return True
+
+    # -- main loop ---------------------------------------------------------
+
+    def run(self):
+        for epoch in range(self.epoch, self.max_epochs):
+            self.epoch = epoch
+            self.train_ds.reshuffle(epoch)
+            loader = EpisodeLoader(
+                self.train_ds, self.batch_size, max_gt=self.max_gt,
+                pad_hw=self.pad_hw,
+            )
+            t_epoch = time.monotonic()
+            for batch, _meta in loader:
+                if self.mesh is not None:
+                    batch = shard_batch(batch, self.mesh)
+                self.rng, step_rng = jax.random.split(self.rng)
+                t0 = time.monotonic()
+                self.params, self.opt_state, metrics = self.train_step(
+                    self.params, self.opt_state, batch, step_rng
+                )
+                if self.step % self.log_interval == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    dt_ms = (time.monotonic() - t0) * 1000
+                    self._scalar("Time/TrainStep", dt_ms)
+                    for k, v in metrics.items():
+                        self._scalar(f"Train/{k}", v)
+                    print(
+                        f"[{datetime_log_fancy()}] e{epoch} it{self.step} "
+                        f"loss={metrics.get('loss_total', float('nan')):.4f} "
+                        f"({dt_ms:.0f} ms)"
+                    )
+                self.step += 1
+                if self.step % self.part == 0:
+                    self.check()
+            self._scalar("Time/TrainEpoch", (time.monotonic() - t_epoch) * 1000)
+            self.check()
+        self.ckpt.wait()
+        return self.params

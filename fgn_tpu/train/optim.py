@@ -1,0 +1,96 @@
+"""Optimizer construction: optax equivalents of the reference schedule
+(subprojects/sp02_omniiseg_fgn_mmdet/fgn_train_schedule.py):
+
+  * Adagrad (or Adam/SGD) lr 5e-3, weight decay 1e-5;
+  * per-module lr multiplier: roi_head params at 0.1×
+    (paramwise_cfg custom_keys, fgn_train_schedule.py:10-17);
+  * linear warmup 100 iters at ratio 0.01 → step decay γ 0.1 at epoch
+    boundaries (lr_config, fgn_train_schedule.py:28-37).
+
+Weight decay is decoupled (applied additively to updates like mmcv's
+optimizer wd) and scaled by the schedule.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import optax
+
+# Param-tree top-level names that belong to the RoI head (0.1× lr).
+ROI_HEAD_MODULES = (
+    "shared5", "rel_conv_roi", "rel_conv_spp", "rel_gn",
+    "fc_cls", "fc_reg",
+    "mask_convs_0", "mask_convs_1", "mask_convs_2", "mask_convs_3",
+    "mask_deconv", "mask_logits",
+)
+
+
+def make_lr_schedule(
+    base_lr: float,
+    steps_per_epoch: int,
+    decay_epochs: Sequence[int] = (3,),
+    gamma: float = 0.1,
+    warmup_iters: int = 100,
+    warmup_ratio: float = 0.01,
+    min_lr: float = 1e-6,
+):
+    boundaries = {int(e * steps_per_epoch): gamma for e in decay_epochs}
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        lr = base_lr
+        factor = jnp.ones_like(step, dtype=jnp.float32)
+        for b in sorted(boundaries):
+            factor = jnp.where(step >= b, factor * boundaries[b], factor)
+        lr = base_lr * factor
+        warm = warmup_ratio + (1.0 - warmup_ratio) * jnp.minimum(
+            step / max(warmup_iters, 1), 1.0
+        )
+        return jnp.maximum(lr * warm, min_lr)
+
+    return schedule
+
+
+def _roi_mask(params) -> Dict:
+    def label(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        # flax puts everything under 'params'
+        if top == "params" and len(path) > 1:
+            top = path[1].key if hasattr(path[1], "key") else str(path[1])
+        return "roi" if top in ROI_HEAD_MODULES else "main"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_optimizer(
+    params,
+    base_lr: float = 5e-3,
+    weight_decay: float = 1e-5,
+    optimizer: str = "adagrad",
+    roi_head_lr_mult: float = 0.1,
+    schedule=None,
+) -> optax.GradientTransformation:
+    schedule = schedule or (lambda step: base_lr)
+
+    def core(lr_scale: float):
+        if optimizer == "adagrad":
+            scaler = optax.scale_by_rss(initial_accumulator_value=0.1)
+        elif optimizer == "adam":
+            scaler = optax.scale_by_adam()
+        elif optimizer == "sgd":
+            scaler = optax.trace(decay=0.9, nesterov=True)
+        else:
+            raise ValueError(optimizer)
+        return optax.chain(
+            scaler,
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_schedule(lambda s: -lr_scale * schedule(s)),
+        )
+
+    labels = _roi_mask(params)
+    return optax.multi_transform(
+        {"main": core(1.0), "roi": core(roi_head_lr_mult)}, labels
+    )
