@@ -150,6 +150,13 @@ def main(cfg: Config):
         max_gt=max_gt,
         max_keep_ckpts=int(cfg.get("max_keep_ckpts", 3)),
         log_interval=int(cfg.get("log_interval", 50)),
+        lr_schedule=schedule,
+        hparams={
+            "optimizer": dict(cfg.optimizer),
+            "lr_schedule": dict(cfg.lr_schedule),
+            "model": dict(cfg.model),
+            "batch_size": batch_size,
+        },
     )
     runner.resume()
     return runner.run()

@@ -1,0 +1,149 @@
+"""RoIAlign as a Pallas TPU kernel.
+
+Formulation: bilinear sampling + bin averaging is separable, so
+RoIAlign is two matmuls per ROI —
+
+    out[r, i, j, c] = Wy[r, i, :] @ fmap[:, :, c] @ Wx[r, j, :]^T
+
+with hat-function weight matrices Wy (R, O, H) / Wx (R, O, W) built on
+the host side of the jit (cheap elementwise). The kernel tiles over
+(batch, roi-chunk, channel-block) so the fmap block, both weight blocks
+and the (RC·O, W·CC) intermediate stay in VMEM, and both contractions
+run on the MXU — replacing the gather-based formulation which the VPU
+executes element-by-element.
+
+Numerics match fgn_tpu.ops.roi_align exactly (same sample points, same
+out-of-range/clamping behaviour) — see tests/test_roi_align_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _hat_weights(start, bin_size, size: int, out_size: int, ratio: int):
+    """(..., O, size) averaging-bilinear weight matrix for one axis.
+
+    start/bin_size: (...,) roi start coordinate and bin extent."""
+    O, S = out_size, ratio
+    grid = (
+        jnp.arange(O, dtype=jnp.float32)[:, None]
+        + (jnp.arange(S, dtype=jnp.float32)[None, :] + 0.5) / S
+    )  # (O, S)
+    pts = start[..., None, None] + bin_size[..., None, None] * grid  # (..., O, S)
+    oob = (pts <= -1.0) | (pts >= size)
+    ptsc = jnp.clip(pts, 0.0, size - 1)
+    idx = jnp.arange(size, dtype=jnp.float32)
+    # (..., O, S, size) hat around each sample point; zero for OOB points.
+    w = jnp.maximum(1.0 - jnp.abs(ptsc[..., None] - idx), 0.0)
+    w = jnp.where(oob[..., None], 0.0, w)
+    return w.sum(axis=-2) / float(S)  # (..., O, size)
+
+
+def _kernel(wy_ref, wx_ref, f_ref, o_ref):
+    wy = wy_ref[0]  # (RC, O, H)
+    wx = wx_ref[0]  # (RC, O, W)
+    f = f_ref[0]  # (H, W, CC)
+    RC, O, H = wy.shape
+    W = wx.shape[-1]
+    CC = f.shape[-1]
+    # First contraction: (RC*O, H) @ (H, W*CC)
+    tmp = jnp.dot(
+        wy.reshape(RC * O, H),
+        f.reshape(H, W * CC),
+        preferred_element_type=jnp.float32,
+    ).reshape(RC, O, W, CC)
+    # Second contraction per roi: (O*CC, W) @ (W, O)
+    lhs = tmp.transpose(0, 1, 3, 2).reshape(RC, O * CC, W)
+    rhs = wx.transpose(0, 2, 1)  # (RC, W, O)
+    out = jax.lax.dot_general(
+        lhs, rhs,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (RC, O*CC, O)
+    o_ref[0] = out.reshape(RC, O, CC, O).transpose(0, 1, 3, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "out_size", "spatial_scale", "sampling_ratio", "aligned",
+        "roi_chunk", "channel_block", "interpret",
+    ),
+)
+def roi_align_pallas(
+    fmap: jnp.ndarray,  # (B, H, W, C)
+    rois: jnp.ndarray,  # (B, R, 4) XYXY
+    out_size: int = 7,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+    # Tile sizes chosen to fit VMEM (16 MB) incl. double buffering and the
+    # (RC·O, W·CC) intermediate at COCO-scale maps (84×84 fmap, C=1024).
+    roi_chunk: int = 8,
+    channel_block: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, H, W, C = fmap.shape
+    R = rois.shape[1]
+    O = out_size
+    offset = 0.5 if aligned else 0.0
+
+    x1 = rois[..., 0] * spatial_scale - offset
+    y1 = rois[..., 1] * spatial_scale - offset
+    rw = rois[..., 2] * spatial_scale - offset - x1
+    rh = rois[..., 3] * spatial_scale - offset - y1
+    if not aligned:
+        rw = jnp.maximum(rw, 1.0)
+        rh = jnp.maximum(rh, 1.0)
+    wy = _hat_weights(y1, rh / O, H, O, sampling_ratio)  # (B, R, O, H)
+    wx = _hat_weights(x1, rw / O, W, O, sampling_ratio)  # (B, R, O, W)
+
+    RC = min(roi_chunk, R)
+    pad_r = (-R) % RC
+    if pad_r:
+        wy = jnp.pad(wy, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
+    Rp = R + pad_r
+    CC = min(channel_block, C)
+    assert C % CC == 0, f"C={C} must tile by channel_block={CC}"
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(B, Rp // RC, C // CC),
+        in_specs=[
+            pl.BlockSpec(
+                (1, RC, O, H), lambda b, r, c: (b, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, RC, O, W), lambda b, r, c: (b, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, H, W, CC), lambda b, r, c: (b, 0, 0, c),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, RC, O, O, CC), lambda b, r, c: (b, r, 0, 0, c),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Rp, O, O, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Rp * O * H * W * C + 2 * B * Rp * O * O * W * C,
+            bytes_accessed=(
+                B * H * W * C * 4 * (Rp // RC)
+                + B * Rp * O * (H + W) * 4
+                + B * Rp * O * O * C * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wy, wx, fmap.astype(jnp.float32))
+    return out[:, :R]

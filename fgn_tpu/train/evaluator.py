@@ -102,7 +102,7 @@ class Evaluator:
                     int(H), int(W), self.mask_thr,
                 )
             )
-            B = batch.qry_img.shape[0]
+            B = meta.n_real if meta.n_real > 0 else batch.qry_img.shape[0]
             for b in range(B):
                 valid = out["dt_valid"][b]
                 dt_boxes = out["dt_boxes"][b][valid]

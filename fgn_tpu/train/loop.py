@@ -49,6 +49,8 @@ class Runner:
         max_keep_ckpts: int = 3,
         log_interval: int = 50,
         seed: int = 0,
+        lr_schedule=None,
+        hparams: Optional[Dict] = None,
     ):
         self.model = model
         self.params = params
@@ -63,6 +65,8 @@ class Runner:
         self.max_gt = max_gt
         self.pad_hw = pad_hw
         self.log_interval = log_interval
+        self.lr_schedule = lr_schedule
+        self.hparams = hparams or {}
         self.rng = jax.random.PRNGKey(seed)
         self.step = 0
         self.epoch = 0
@@ -85,6 +89,15 @@ class Runner:
     def _scalar(self, tag: str, value: float):
         if self.tb is not None:
             self.tb.add_scalar(tag, float(value), self.step)
+
+    def _log_hyperparams(self):
+        """LR per step + one-time hparam text card (reference
+        OptEpochBasedRunner.log_hyperparams: main.py:99-151)."""
+        if self.lr_schedule is not None:
+            self._scalar("Hyperparams/LR", float(self.lr_schedule(self.step)))
+        if self.step == 0 and self.tb is not None and self.hparams:
+            text = "\n".join(f"{k}: {v}" for k, v in sorted(self.hparams.items()))
+            self.tb.add_text("Hyperparams/config", text, 0)
 
     # -- checkpoint + eval -----------------------------------------------
 
@@ -156,6 +169,7 @@ class Runner:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     dt_ms = (time.monotonic() - t0) * 1000
                     self._scalar("Time/TrainStep", dt_ms)
+                    self._log_hyperparams()
                     for k, v in metrics.items():
                         self._scalar(f"Train/{k}", v)
                     print(
