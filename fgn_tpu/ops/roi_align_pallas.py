@@ -69,13 +69,6 @@ def _kernel(wy_ref, wx_ref, f_ref, o_ref):
     o_ref[0] = out.reshape(RC, O, CC, O).transpose(0, 1, 3, 2)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "out_size", "spatial_scale", "sampling_ratio", "aligned",
-        "roi_chunk", "channel_block", "interpret",
-    ),
-)
 def roi_align_pallas(
     fmap: jnp.ndarray,  # (B, H, W, C)
     rois: jnp.ndarray,  # (B, R, 4) XYXY
@@ -89,11 +82,68 @@ def roi_align_pallas(
     channel_block: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    B, H, W, C = fmap.shape
-    R = rois.shape[1]
-    O = out_size
-    offset = 0.5 if aligned else 0.0
+    """Differentiable wrt ``fmap`` (custom VJP: the transposed matmul
+    pair, chunked over rois). Like torchvision, no gradient flows to the
+    roi coordinates."""
+    f = _vjp_fn(
+        out_size, spatial_scale, sampling_ratio, aligned,
+        roi_chunk, channel_block, interpret,
+    )
+    return f(fmap, rois)
 
+
+@functools.lru_cache(maxsize=None)
+def _vjp_fn(out_size, spatial_scale, sampling_ratio, aligned,
+            roi_chunk, channel_block, interpret):
+    fwd_impl = functools.partial(
+        _forward, out_size=out_size, spatial_scale=spatial_scale,
+        sampling_ratio=sampling_ratio, aligned=aligned,
+        roi_chunk=roi_chunk, channel_block=channel_block,
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def f(fmap, rois):
+        return fwd_impl(fmap, rois)
+
+    def f_fwd(fmap, rois):
+        return fwd_impl(fmap, rois), (rois, fmap.shape)
+
+    def f_bwd(res, g):
+        rois, fshape = res
+        B, H, W, C = fshape
+        O = out_size
+        wy, wx = _roi_weights(
+            rois, H, W, O, spatial_scale, sampling_ratio, aligned
+        )  # (B, R, O, H/W)
+        R = rois.shape[1]
+        RC = min(roi_chunk * 4, R)
+        pad = (-R) % RC
+        if pad:
+            wy = jnp.pad(wy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            wx = jnp.pad(wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            g = jnp.pad(g, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        nchunks = (R + pad) // RC
+
+        def body(df, i):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * RC, RC, axis=1)
+            gyc = jnp.einsum(
+                "brih,brijc->brhjc", sl(wy), sl(g).astype(jnp.float32)
+            )  # (B, RC, H, O, C)
+            df = df + jnp.einsum("brhjc,brjw->bhwc", gyc, sl(wx))
+            return df, None
+
+        df, _ = jax.lax.scan(
+            body, jnp.zeros((B, H, W, C), jnp.float32), jnp.arange(nchunks)
+        )
+        return df, jnp.zeros_like(rois)
+
+    f.defvjp(f_fwd, f_bwd)
+    return jax.jit(f)
+
+
+def _roi_weights(rois, H, W, O, spatial_scale, sampling_ratio, aligned):
+    offset = 0.5 if aligned else 0.0
     x1 = rois[..., 0] * spatial_scale - offset
     y1 = rois[..., 1] * spatial_scale - offset
     rw = rois[..., 2] * spatial_scale - offset - x1
@@ -101,8 +151,28 @@ def roi_align_pallas(
     if not aligned:
         rw = jnp.maximum(rw, 1.0)
         rh = jnp.maximum(rh, 1.0)
-    wy = _hat_weights(y1, rh / O, H, O, sampling_ratio)  # (B, R, O, H)
-    wx = _hat_weights(x1, rw / O, W, O, sampling_ratio)  # (B, R, O, W)
+    wy = _hat_weights(y1, rh / O, H, O, sampling_ratio)
+    wx = _hat_weights(x1, rw / O, W, O, sampling_ratio)
+    return wy, wx
+
+
+def _forward(
+    fmap: jnp.ndarray,
+    rois: jnp.ndarray,
+    out_size: int,
+    spatial_scale: float,
+    sampling_ratio: int,
+    aligned: bool,
+    roi_chunk: int,
+    channel_block: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    B, H, W, C = fmap.shape
+    R = rois.shape[1]
+    O = out_size
+    wy, wx = _roi_weights(
+        rois, H, W, O, spatial_scale, sampling_ratio, aligned
+    )  # (B, R, O, H), (B, R, O, W)
 
     RC = min(roi_chunk, R)
     pad_r = (-R) % RC

@@ -46,3 +46,28 @@ def test_pallas_with_scale_and_padding(rng):
     )
     assert got.shape == ref.shape == (1, 5, 7, 7, 16)
     assert np.allclose(got, ref, atol=1e-4)
+
+
+def test_pallas_vjp_matches_gather_grad(rng):
+    import jax
+
+    B, H, W, C = 1, 10, 12, 8
+    fmap = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    rois = jnp.asarray(
+        np.array([[[1.0, 1.0, 9.0, 8.0], [2.5, 0.5, 11.0, 9.5]]], np.float32)
+    )
+    cot = rng.rand(B, 2, 4, 4, C).astype(np.float32)
+
+    def loss_gather(f):
+        out = roi_align(f, rois, 4)
+        return jnp.sum(out * cot)
+
+    def loss_pallas(f):
+        out = roi_align_pallas(
+            f, rois, 4, roi_chunk=2, channel_block=8, interpret=True
+        )
+        return jnp.sum(out * cot)
+
+    g_ref = np.asarray(jax.grad(loss_gather)(fmap))
+    g_got = np.asarray(jax.grad(loss_pallas)(fmap))
+    assert np.allclose(g_got, g_ref, atol=1e-4), np.abs(g_got - g_ref).max()
