@@ -156,8 +156,13 @@ _FONTS = [
 
 
 def render_glyph(char: str, variant: int = 0) -> np.ndarray:
-    """Black glyph on a white 64×64-ish canvas, deterministic per variant."""
-    rnd = random.Random(hash((char, variant)) & 0xFFFFFFFF)
+    """Black glyph on a white 64×64-ish canvas, deterministic per variant.
+
+    Seeded with crc32 (NOT the builtin hash(), which is salted per
+    process and would make generated datasets irreproducible)."""
+    import zlib
+
+    rnd = random.Random(zlib.crc32(f"{char}:{variant}".encode()))
     font = _FONTS[variant % len(_FONTS)]
     italic = cv2.FONT_ITALIC if (variant // len(_FONTS)) % 2 else 0
     thickness = 1 + rnd.randint(0, 2)
