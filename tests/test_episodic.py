@@ -12,7 +12,7 @@ from fgn_tpu.data.fst_bindings import MNISTFewShotISEG
 def tiny_mnistiseg(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("data") / "mnistiseg")
     MNISTISEG.create(
-        root=root, quantities={"train": 24, "val": 8, "test": 8}, seed=5
+        root=root, quantities={"train": 48, "val": 8, "test": 8}, seed=5
     )
     return root
 
@@ -48,7 +48,7 @@ def fst(tiny_mnistiseg, tmp_path_factory):
 
 def test_raw_ds_loads(tiny_mnistiseg):
     ds = MNISTISEG(imgs_set="train", root=tiny_mnistiseg)
-    assert len(ds) == 24
+    assert len(ds) == 48
     item = ds[0]
     assert item["img"].shape == (512, 512, 3)
     assert len(item["bboxes"]) == len(item["cat_ids"]) == len(item["isegmaps"])
