@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import dataclasses
+import os
 import re
 import sys
 from typing import Dict, List, Optional
@@ -65,6 +66,16 @@ def _init_params(model: FGN, ds, batch_size: int, max_gt: int, pad_hw=None):
 
 
 def main(cfg: Config):
+    # Persistent compile cache: repeated runs at the same shapes skip the
+    # ~10 min remote TPU compile.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     mcfg = model_config_from_cfg(cfg)
     model = FGN(cfg=mcfg)
 
