@@ -57,7 +57,9 @@ def _init_params(model: FGN, ds, batch_size: int, max_gt: int, pad_hw=None):
     from fgn_tpu.data.batching import collate_episodes
 
     samples = [ds[i] for i in range(min(batch_size, len(ds)))]
-    batch, _ = collate_episodes(samples, ds.normalize, max_gt=max_gt, pad_hw=pad_hw)
+    batch, _ = collate_episodes(
+        samples, ds.mean, ds.std, max_gt=max_gt, pad_hw=pad_hw
+    )
     init = jax.jit(
         lambda k, b, r: model.init(k, b, r, method=FGN.train_forward)
     )

@@ -190,7 +190,7 @@ def test_collate_shapes(fst):
 
     random.seed(0)
     samples = [fst[i] for i in range(2)]
-    batch, meta = collate_episodes(samples, fst.normalize, max_gt=8)
+    batch, meta = collate_episodes(samples, fst.mean, fst.std, max_gt=8)
     B, H, W = 2, 480, 480
     assert batch.qry_img.shape == (B, H, W, 3)
     assert batch.qry_boxes.shape == (B, 8, 4)
@@ -203,8 +203,9 @@ def test_collate_shapes(fst):
     # padding slots invalid
     n0 = len(samples[0]["qry_bboxes"])
     assert batch.qry_valid[0, :n0].all() and not batch.qry_valid[0, n0:].any()
-    # normalized image roughly zero-mean-ish white background
-    assert abs(float(batch.qry_img.mean())) < 2.0
+    # images stay uint8; normalization stats ride in the batch
+    assert batch.qry_img.dtype == np.uint8
+    assert np.allclose(batch.norm_mean, fst.mean)
 
 
 def test_episode_loader(fst):
@@ -214,3 +215,21 @@ def test_episode_loader(fst):
     b0, m0 = batches[0]
     assert b0.qry_img.shape[0] == 2
     assert m0.idx.tolist() == [0, 1]
+
+
+def test_grain_loader_matches_threaded(fst):
+    import random
+
+    from fgn_tpu.data.loader_grain import GrainEpisodeLoader
+
+    random.seed(0)
+    threaded = [b for b, _ in EpisodeLoader(fst, batch_size=2, max_gt=8)]
+    random.seed(0)
+    grain_batches = [
+        b for b, _ in GrainEpisodeLoader(fst, batch_size=2, max_gt=8,
+                                         worker_count=0)
+    ]
+    assert len(grain_batches) == len(threaded)
+    b0, g0 = threaded[0], grain_batches[0]
+    assert b0.qry_img.shape == g0.qry_img.shape
+    assert np.array_equal(np.asarray(b0.img_hw), np.asarray(g0.img_hw))

@@ -75,7 +75,7 @@ def run(cfg_fp: str, n_episodes: int = 24, seed: int = 0):
         for i in range(0, len(pass_episodes), B):
             chunk = pass_episodes[i : i + B]
             batch, meta = collate_episodes(
-                chunk, ds.normalize, max_gt=max_gt, keep_gt_masks=True,
+                chunk, ds.mean, ds.std, max_gt=max_gt, keep_gt_masks=True,
                 pad_to_batch=B,
             )
             out = jax.tree_util.tree_map(np.asarray, eval_step(params, batch))
