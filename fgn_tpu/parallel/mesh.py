@@ -38,8 +38,28 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place every array of an EpisodeBatch pytree with its leading axis
-    sharded over the mesh."""
+_REPLICATED_BATCH_FIELDS = ("norm_mean", "norm_std")
+
+
+def episode_batch_shardings(mesh: Mesh, axis: str = "data"):
+    """EpisodeBatch-shaped pytree of shardings: per-episode arrays shard
+    on the leading axis; scalar stats (norm_mean/std) replicate."""
+    from fgn_tpu.data.batching import EpisodeBatch
+
     sh = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    rep = replicate(mesh)
+    return EpisodeBatch(
+        **{
+            f: (rep if f in _REPLICATED_BATCH_FIELDS else sh)
+            for f in EpisodeBatch._fields
+        }
+    )
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place an EpisodeBatch on the mesh (batch axis sharded, stats
+    replicated)."""
+    shardings = episode_batch_shardings(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), batch, shardings
+    )

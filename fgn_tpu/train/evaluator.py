@@ -51,6 +51,7 @@ class Evaluator:
         chunk_size: int = 1000,
         pad_hw=None,
         tag: Optional[str] = None,
+        n_plots: int = 5,
     ):
         self.model = model
         self.ds = ds
@@ -61,6 +62,7 @@ class Evaluator:
         self.mask_thr = mask_thr
         self.chunk_size = chunk_size
         self.pad_hw = pad_hw
+        self.n_plots = n_plots
         # Reference tag scheme (main.py:323-333).
         self.tag = tag or (
             f"{ds.sampling_origin_ds}_{ds.sampling_origin_ds_subset}"
@@ -130,6 +132,22 @@ class Evaluator:
                 if len(results) >= self.chunk_size:
                     flush()
         flush()
+
+        # Render a few episodes (gt | detections), like the reference's
+        # 5-episode replot during evaluate (base_fst.py:1547-1577).
+        if self.n_plots:
+            try:
+                first_chunk = sorted(os.listdir(results_dir))[0]
+                from fgn_tpu.utils.io import read_pkl
+
+                sample_results = read_pkl(
+                    os.path.join(results_dir, first_chunk)
+                )[: self.n_plots]
+                vis_dir = os.path.join(self.work_dir, "eval_vis")
+                for i, res in enumerate(sample_results):
+                    self.ds.visualize_result(res, vis_dir, f"Result {i:03}.png")
+            except Exception:
+                pass  # rendering is best-effort
 
         metrics: Dict[str, float] = {}
         for iou_type, short in (("bbox", "bbox"), ("segm", "isegm")):

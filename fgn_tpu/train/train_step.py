@@ -17,7 +17,11 @@ import jax.numpy as jnp
 import optax
 
 from fgn_tpu.models.fgn import FGN
-from fgn_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+from fgn_tpu.parallel.mesh import (
+    episode_batch_shardings,
+    make_mesh,
+    replicate,
+)
 
 
 def make_train_step(model: FGN, tx: optax.GradientTransformation, mesh=None):
@@ -26,7 +30,6 @@ def make_train_step(model: FGN, tx: optax.GradientTransformation, mesh=None):
     (params, opt_state, metrics)."""
     mesh = mesh or make_mesh()
     rep = replicate(mesh)
-    shard = batch_sharding(mesh)
 
     def loss_fn(params, batch, rng):
         losses = model.apply(params, batch, rng, method=FGN.train_forward)
@@ -43,7 +46,7 @@ def make_train_step(model: FGN, tx: optax.GradientTransformation, mesh=None):
         metrics["loss_total"] = total
         return params, opt_state, metrics
 
-    batch_shardings = jax.tree_util.tree_map(lambda _: shard, _batch_struct())
+    batch_shardings = episode_batch_shardings(mesh)
 
     train_step = jax.jit(
         step_fn,
@@ -57,8 +60,7 @@ def make_train_step(model: FGN, tx: optax.GradientTransformation, mesh=None):
 def make_eval_step(model: FGN, mesh=None):
     mesh = mesh or make_mesh()
     rep = replicate(mesh)
-    shard = batch_sharding(mesh)
-    batch_shardings = jax.tree_util.tree_map(lambda _: shard, _batch_struct())
+    batch_shardings = episode_batch_shardings(mesh)
 
     def step_fn(params, batch):
         return model.apply(params, batch, method=FGN.test_forward)
@@ -66,10 +68,3 @@ def make_eval_step(model: FGN, mesh=None):
     return jax.jit(
         step_fn, in_shardings=(rep, batch_shardings), out_shardings=rep
     ), mesh
-
-
-def _batch_struct():
-    """A template EpisodeBatch pytree (field structure only)."""
-    from fgn_tpu.data.batching import EpisodeBatch
-
-    return EpisodeBatch(*(0 for _ in EpisodeBatch._fields))

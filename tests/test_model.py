@@ -154,3 +154,30 @@ def test_frozen_backbone_no_grad():
     grads = jax.jit(jax.grad(total_loss))(params)["params"]
     bb = jax.tree_util.tree_leaves(grads["backbone"])
     assert all(float(jnp.abs(x).max()) == 0 for x in bb)
+
+
+def test_proposals_filter_degenerate_boxes():
+    """Regression: zero-area decoded boxes (IoU 0 with everything, so NMS
+    cannot suppress them) must be dropped before NMS even when an
+    untrained anchor channel gives them the top score."""
+    model = FGN(cfg=SMALL)
+    h = w = 4
+    A = SMALL.num_anchors
+    cls_m = jnp.full((1, h, w, A), -10.0)
+    reg_m = jnp.zeros((1, h, w, A, 4))
+    # Anchor channel A-1 (the 512px anchor): push it far above the image
+    # so the clipped box has zero height, and give it the max score.
+    cls_m = cls_m.at[..., A - 1].set(20.0)
+    reg_m = reg_m.at[..., A - 1, 1].set(-10.0)  # dy: shift way up
+    # One honest mid-score anchor.
+    cls_m = cls_m.at[0, 2, 2, 6].set(5.0)
+    img_hw = jnp.array([[64, 64]])
+    props, scores, valid = model.apply(
+        {}, cls_m, reg_m, img_hw, 64, 8, method=FGN.get_proposals
+    )
+    props, scores, valid = map(np.asarray, (props, scores, valid))
+    kept = props[0][valid[0]]
+    assert len(kept) >= 1
+    hs = kept[:, 3] - kept[:, 1]
+    ws = kept[:, 2] - kept[:, 0]
+    assert (hs > 0).all() and (ws > 0).all(), kept
