@@ -5,4 +5,4 @@ _base_ = ["fgn_train_mnistiseg_n1k1.py"]
 
 optimizer = dict(type="adam", lr=0.005, weight_decay=1e-5)
 max_epochs = 4
-work_dir = "runs/mnistiseg_n1k1_adam"
+work_dir = "runs/mnistiseg_n1k1_adam2"
