@@ -88,8 +88,13 @@ class Augmenter:
     def _photometric(self, img: np.ndarray) -> np.ndarray:
         op = random.randrange(4)
         if op == 0:  # additive gaussian noise, scale 1
-            noise = np.random.normal(0, 1.0, img.shape)
-            return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+            # float32 end-to-end: float64 normal() dominates episode time
+            out = img.astype(np.float32)
+            out += np.random.default_rng().standard_normal(
+                img.shape, dtype=np.float32
+            )
+            np.clip(out, 0, 255, out=out)
+            return out.astype(np.uint8)
         if op == 1:  # impulse noise on ~3% of pixels
             out = img.copy()
             mask = np.random.rand(*img.shape[:2]) < 0.03
