@@ -181,3 +181,34 @@ def test_proposals_filter_degenerate_boxes():
     hs = kept[:, 3] - kept[:, 1]
     ws = kept[:, 2] - kept[:, 0]
     assert (hs > 0).all() and (ws > 0).all(), kept
+
+
+def test_guidance_off_plain_frcnn():
+    """sp01-equivalent mode: support conditioning disabled end to end."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, n_ways=1, guidance=False)
+    model = FGN(cfg=cfg)
+    rng = np.random.RandomState(1)
+    batch = _toy_batch(rng, N=1)
+    init = jax.jit(
+        lambda k, b, r: model.init(k, b, r, method=FGN.train_forward)
+    )
+    params = init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+    losses = jax.jit(
+        lambda p, b, r: model.apply(p, b, r, method=FGN.train_forward)
+    )(params, batch, jax.random.PRNGKey(2))
+    assert all(
+        np.isfinite(float(v)) for k, v in losses.items() if k.startswith("loss_")
+    )
+    # support images must have NO influence on the outputs
+    out1 = jax.jit(lambda p, b: model.apply(p, b, method=FGN.test_forward))(
+        params, batch
+    )
+    batch2 = batch._replace(spp_imgs=batch.spp_imgs * 0.0 + 1.0)
+    out2 = jax.jit(lambda p, b: model.apply(p, b, method=FGN.test_forward))(
+        params, batch2
+    )
+    assert np.allclose(
+        np.asarray(out1["dt_scores"]), np.asarray(out2["dt_scores"])
+    )
