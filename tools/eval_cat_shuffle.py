@@ -71,7 +71,7 @@ def run(cfg_fp: str, n_episodes: int = 24, seed: int = 0):
 
     def evaluate(pass_episodes):
         results = []
-        B = 2
+        B = 4
         for i in range(0, len(pass_episodes), B):
             chunk = pass_episodes[i : i + B]
             batch, meta = collate_episodes(
