@@ -1,0 +1,80 @@
+"""Runner behaviour: epoch loop, checkpointing cadence, resume."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from fgn_tpu.models.fgn import FGN
+from fgn_tpu.parallel.mesh import make_mesh
+from fgn_tpu.train.loop import Runner
+from fgn_tpu.train.optim import build_optimizer, make_lr_schedule
+from fgn_tpu.train.train_step import make_train_step
+from tests.test_train_e2e import TINY_MODEL, TinyFewShot, TinyMNISTISEG
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("runner")
+    root = str(tmp / "raw")
+    TinyMNISTISEG.create(
+        root=root, quantities={"train": 8, "val": 2, "test": 2}, seed=9
+    )
+    cfg = dict(
+        n_ways=1, k_shots=1,
+        ds_base_="MNISTISEG", ds_base__subset="train",
+        ds_novel="MNISTISEG", ds_novel_subset="val",
+        sampling_origin_ds="MNISTISEG", sampling_origin_ds_subset="train",
+        sampling_cats="base_", sampling_scenario="parents",
+        repeats=1, finetune="Ignore", shuffle=True,
+        qry_cats_choice_random=True,
+        delete_qry_insts_in_spp_insts_on_train=False,
+        inner_root=root, root=str(tmp / "fst"),
+    )
+    return TinyFewShot(cfg), str(tmp)
+
+
+def _build(ds, work_dir):
+    model = FGN(cfg=TINY_MODEL)
+    mesh = make_mesh(jax.devices("cpu")[:2])
+    from fgn_tpu.data.batching import collate_episodes
+
+    samples = [ds[i] for i in range(2)]
+    batch, _ = collate_episodes(samples, ds.mean, ds.std, max_gt=8)
+    params = jax.jit(
+        lambda k, b, r: model.init(k, b, r, method=FGN.train_forward)
+    )(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+    schedule = make_lr_schedule(1e-3, steps_per_epoch=4, warmup_iters=1)
+    tx = build_optimizer(params, optimizer="adam", schedule=schedule)
+    opt_state = jax.jit(tx.init)(params)
+    train_step, mesh = make_train_step(model, tx, mesh)
+    return Runner(
+        model, params, opt_state, train_step, ds,
+        batch_size=2, work_dir=work_dir, mesh=mesh, max_epochs=2,
+        evaluators=[], max_gt=8, log_interval=1, lr_schedule=schedule,
+        hparams={"note": "runner-test"},
+    )
+
+
+def test_runner_trains_checkpoints_and_resumes(tiny):
+    ds, tmp = tiny
+    work = os.path.join(tmp, "run1")
+    runner = _build(ds, work)
+    runner.run()
+    steps_per_epoch = len(ds) // 2
+    assert runner.step == 2 * steps_per_epoch
+    ckpts = os.listdir(os.path.join(work, "checkpoints"))
+    assert ckpts, "no checkpoints saved"
+
+    # Fresh runner in the same work_dir resumes at the last step and
+    # skips completed epochs.
+    runner2 = _build(ds, work)
+    assert runner2.resume()
+    assert runner2.step == runner.step
+    assert runner2.epoch == 1  # last epoch recorded
+    runner2.max_epochs = 2
+    runner2.run()  # resumes epoch 1 (re-runs it), not epoch 0
+    assert runner2.step >= runner.step
+    runner2.ckpt.close()
+    runner.ckpt.close()
