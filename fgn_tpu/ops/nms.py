@@ -101,7 +101,15 @@ def nms_padded(
     alive = alive[:M]
 
     keep_scores = jnp.where(alive, s_sorted, neg_inf)
-    out_scores, keep_pos = jax.lax.top_k(keep_scores, max_out)
+    k_out = min(max_out, M)
+    out_scores, keep_pos = jax.lax.top_k(keep_scores, k_out)
+    if k_out < max_out:  # fewer candidates than requested slots
+        out_scores = jnp.concatenate(
+            [out_scores, jnp.full(max_out - k_out, neg_inf, out_scores.dtype)]
+        )
+        keep_pos = jnp.concatenate(
+            [keep_pos, jnp.zeros(max_out - k_out, keep_pos.dtype)]
+        )
     out_valid = jnp.isfinite(out_scores)
     out_idx = order[keep_pos]
     out_boxes = boxes_s[keep_pos]
