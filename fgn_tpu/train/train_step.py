@@ -9,11 +9,7 @@ gradient all-reduce.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
-
 import jax
-import jax.numpy as jnp
 import optax
 
 from fgn_tpu.models.fgn import FGN

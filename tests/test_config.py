@@ -70,3 +70,47 @@ def test_apply_typed_config_enforces_types():
     # int accepted where float expected (numeric kinship)
     apply_typed_config(obj, {"ratio": 1})
     assert obj.ratio == 1
+
+
+def test_model_config_from_cfg_and_batch_heuristic():
+    from fgn_tpu.config import Config
+    from fgn_tpu.main import batch_heuristic, model_config_from_cfg
+
+    cfg = Config.from_file("fgn_tpu/configs/fgn_r50_c4_densecl.py")
+    mcfg = model_config_from_cfg(cfg)
+    assert mcfg.n_ways == 3 and mcfg.backbone_norm == "frozen_bn"
+    assert mcfg.anchor_scales == (2, 4, 8, 16, 32)
+    assert mcfg.rcnn_bbox_stds == (0.1, 0.1, 0.2, 0.2)
+    # unknown keys in the dict are ignored, not fatal
+    cfg.model["bogus_key"] = 1
+    model_config_from_cfg(cfg)
+    # reference heuristic (main.py:487-501)
+    assert batch_heuristic(1, 1) == 12
+    assert batch_heuristic(3, 1) == 10
+    assert batch_heuristic(3, 3) == 8
+
+
+def test_viz_helpers_smoke(tmp_path, rng):
+    import numpy as np
+
+    from fgn_tpu.models.viz import (
+        visualize_cls_scores,
+        visualize_qry_fmaps,
+        visualize_spp_fmaps,
+    )
+
+    spp = rng.rand(3, 8, 8, 16).astype(np.float32)
+    img1 = visualize_spp_fmaps(spp, str(tmp_path / "spp.png"))
+    assert img1.ndim == 2 and img1.size > 0
+    qf = rng.rand(8, 8, 16).astype(np.float32)
+    qmod = rng.rand(3, 8, 8, 16).astype(np.float32)
+    img2 = visualize_qry_fmaps(qf, qmod, str(tmp_path / "qry.png"))
+    assert img2.size > 0
+    cls = rng.randn(3, 8, 8, 5).astype(np.float32)
+    img3 = visualize_cls_scores(cls, str(tmp_path / "cls.png"))
+    assert img3.size > 0
+    import os
+
+    assert all(
+        os.path.exists(str(tmp_path / f)) for f in ("spp.png", "qry.png", "cls.png")
+    )
