@@ -84,29 +84,55 @@ class Augmenter:
         return np.stack([ny1, nx1, ny2, nx2], -1).astype(np.float32)
 
     # -- photometric -------------------------------------------------------
+    #
+    # Episode construction is the host hot loop (SURVEY hard part #5) and
+    # this host has ONE core, so the photometric ops avoid per-call RNG
+    # and dtype churn: noise comes from a pre-generated bank sliced at a
+    # random offset, adds saturate in cv2 (no float round-trip), and the
+    # hue shift is a 256-entry LUT on the uint8 H channel.
+
+    _NOISE_BANK: Optional[np.ndarray] = None  # int16 ~N(0, 4), shared
+    _UNIF_BANK: Optional[np.ndarray] = None  # uint8 uniform, shared
+
+    @classmethod
+    def _banks(cls):
+        if cls._NOISE_BANK is None:
+            rng = np.random.default_rng(0)
+            cls._NOISE_BANK = np.round(
+                rng.standard_normal(1 << 21, dtype=np.float32) * 4.0
+            ).astype(np.int16)
+            cls._UNIF_BANK = rng.integers(
+                0, 256, 1 << 21, dtype=np.uint8
+            )
+        return cls._NOISE_BANK, cls._UNIF_BANK
 
     def _photometric(self, img: np.ndarray) -> np.ndarray:
         op = random.randrange(4)
-        if op == 0:  # additive gaussian noise, scale 1
-            # float32 end-to-end: float64 normal() dominates episode time
-            out = img.astype(np.float32)
-            out += np.random.default_rng().standard_normal(
-                img.shape, dtype=np.float32
+        if op == 0:  # additive gaussian noise (bank slice, saturating add)
+            noise, _ = self._banks()
+            n = img.size
+            off = random.randrange(noise.size - n)
+            return cv2.add(
+                img, noise[off: off + n].reshape(img.shape), dtype=cv2.CV_8U
             )
-            np.clip(out, 0, 255, out=out)
-            return out.astype(np.uint8)
         if op == 1:  # impulse noise on ~3% of pixels
+            _, unif = self._banks()
+            npix = img.shape[0] * img.shape[1]
+            off = random.randrange(unif.size - npix - img.size)
+            mask = unif[off: off + npix].reshape(img.shape[:2]) < 8  # ~3%
             out = img.copy()
-            mask = np.random.rand(*img.shape[:2]) < 0.03
-            out[mask] = np.random.randint(0, 256, (int(mask.sum()), 3))
+            out[mask] = unif[off + npix: off + npix + int(mask.sum()) * 3]\
+                .reshape(-1, 3)[: int(mask.sum())]
             return out
         if op == 2:  # gaussian blur
             sigma = random.uniform(0.3, 1.5)
             return cv2.GaussianBlur(img, (0, 0), sigma)
-        # hue shift (RGB input)
-        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int16)
-        hsv[..., 0] = (hsv[..., 0] + random.randint(-self.hue_shift, self.hue_shift)) % 180
-        return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        # hue shift via LUT on the uint8 H channel (H in [0, 180))
+        shift = random.randint(-self.hue_shift, self.hue_shift)
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        lut = ((np.arange(256) + shift) % 180).astype(np.uint8)
+        hsv[..., 0] = cv2.LUT(hsv[..., 0], lut)
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
 
     # -- pipeline ----------------------------------------------------------
 

@@ -173,6 +173,7 @@ class EpisodeLoader:
         drop_last: bool = True,
         keep_gt_masks: bool = False,
         prefetch: int = 4,
+        start_batch: int = 0,
     ):
         self.ds = ds
         self.batch_size = batch_size
@@ -181,18 +182,22 @@ class EpisodeLoader:
         self.drop_last = drop_last
         self.keep_gt_masks = keep_gt_masks
         self.prefetch = prefetch
+        # mid-epoch resume: skip the first `start_batch` batches cheaply
+        self.start_batch = start_batch
 
     def __len__(self):
         n = len(self.ds)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        total = (
+            n // self.batch_size if self.drop_last
+            else (n + self.batch_size - 1) // self.batch_size
+        )
+        return max(total - self.start_batch, 0)
 
     def _index_batches(self):
         n = len(self.ds)
         bs = self.batch_size
         stop = (n // bs) * bs if self.drop_last else n
-        for start in range(0, stop, bs):
+        for start in range(self.start_batch * bs, stop, bs):
             yield list(range(start, min(start + bs, n)))
 
     def _build(self, indices: List[int]):

@@ -83,6 +83,12 @@ class FewShotISEG:
 
     def __init__(self, config: Dict):
         apply_typed_config(self, dict(config))
+        # Default roots: raw data under data/{ds_name}, databags under
+        # data/fst (explicit config keys override — tests use tmp dirs).
+        if not self.inner_root and self.inner_ds_cl is not None:
+            self.inner_root = os.path.join("data", self.inner_ds_cl.ds_name)
+        if not self.root:
+            self.root = os.path.join("data", "fst")
         assert self.root, "FewShotISEG needs a cache root"
         assert self.finetune in ("Ignore", "Select", "Use"), self.finetune
         assert self.sampling_cats in ("base_", "novel", "all")

@@ -9,6 +9,7 @@ uses (reference main.py:347-361).
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import numpy as np
@@ -60,7 +61,9 @@ class COCOFewShot(FewShotISEG):
         from fgn_tpu.data.coco import COCODS
 
         return COCODS(
-            imgs_set=subset, root=self.inner_root, coco_root=self.coco_root
+            imgs_set=subset,
+            root=self.inner_root or os.path.join("data", "coco_cache"),
+            coco_root=self.coco_root or os.path.join("data", "COCO"),
         )
 
     def select_cats(self):
@@ -91,8 +94,12 @@ class VOCFewShot(COCOFewShot):
         from fgn_tpu.data.voc import VOCDS
 
         return VOCDS(
-            imgs_set=subset, root=self.inner_root, voc_root=self.voc_root,
-            coco_root=self.coco_root,
+            imgs_set=subset,
+            root=self.inner_root or os.path.join("data", "voc_cache"),
+            voc_root=self.voc_root or os.path.join(
+                "data", "VOCdevkit", "VOC2012"
+            ),
+            coco_root=self.coco_root or os.path.join("data", "COCO"),
         )
 
 

@@ -42,10 +42,10 @@ class MNISTISEG:
         "small": [0.8, 1.5], "medium": [1.5, 2.8], "large": [2.8, 4.5]
     }
     variants_per_subset = {"train": 10, "val": 5, "test": 5}
-    # Channel stats of the generated distribution (white-dominant canvases
-    # with colored glyphs); see count_mean_std().
-    mean = np.array([242.0, 241.0, 241.0], np.float32)
-    std = np.array([44.0, 45.0, 45.0], np.float32)
+    # Channel stats measured over the generated val subset with
+    # count_mean_std() (white-dominant canvases with colored glyphs).
+    mean = np.array([251.25, 251.23, 251.06], np.float32)
+    std = np.array([26.62, 26.78, 27.22], np.float32)
 
     def __init__(self, imgs_set: str = "train", root: str = ""):
         assert root, "MNISTISEG needs an explicit root"
@@ -159,5 +159,5 @@ class OMNIISEG(MNISTISEG):
 
     ds_name = "omniiseg"
     chars = tuple("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
-    mean = np.array([243.0, 242.0, 242.0], np.float32)
-    std = np.array([42.0, 43.0, 43.0], np.float32)
+    mean = np.array([251.43, 251.48, 251.26], np.float32)
+    std = np.array([25.98, 25.68, 26.48], np.float32)

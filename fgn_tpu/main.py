@@ -159,6 +159,10 @@ def main(cfg: Config):
         work_dir=str(cfg.work_dir),
         mesh=mesh,
         max_epochs=int(cfg.get("max_epochs", 3)),
+        eval_interval_iters=(
+            int(cfg["eval_interval_iters"])
+            if cfg.get("eval_interval_iters") else None
+        ),
         evaluators=evaluators,
         max_gt=max_gt,
         max_keep_ckpts=int(cfg.get("max_keep_ckpts", 3)),

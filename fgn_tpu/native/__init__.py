@@ -1,7 +1,9 @@
 """Native (C++) host-side kernels, loaded via ctypes.
 
-Built lazily with the Makefile in this directory on first import; import
-falls back silently so pure-Python paths keep working without a toolchain.
+Built lazily with the Makefile in this directory on first import (set
+``FGN_TPU_NATIVE_BUILD=0`` to forbid the implicit build); import failure
+is caught by fgn_tpu.data.rle, which falls back to the NumPy path, so
+toolchain-less hosts keep working. The .so itself is never committed.
 """
 
 from __future__ import annotations
@@ -17,6 +19,8 @@ _LIB_FP = os.path.join(_DIR, "librle.so")
 
 
 def _build() -> bool:
+    if os.environ.get("FGN_TPU_NATIVE_BUILD", "1") == "0":
+        return False
     try:
         subprocess.run(
             ["make", "-s", "-C", _DIR],

@@ -77,7 +77,12 @@ class Evaluator:
             self.ds, self.batch_size, max_gt=self.max_gt,
             pad_hw=self.pad_hw, drop_last=False, keep_gt_masks=True,
         )
-        results_dir = os.path.join(self.work_dir, "results_pkl")
+        # Per-evaluator subdir: multiple eval hooks in one run must not
+        # clobber each other's chunks between metric passes.
+        results_dir = os.path.join(
+            self.work_dir, "results_pkl",
+            f"{self.tag.replace('/', '_')}_{self.cats_suffix}",
+        )
         create_empty_dir_unsafe(results_dir)
 
         results: List[dict] = []

@@ -11,7 +11,11 @@ Rebuild of the reference's OptEpochBasedRunner / main(cfg)
     soft-failing (warn and continue) like the reference's try/except
     (main.py:157-177);
   * per-epoch dataset reshuffle(epoch);
-  * resume restores params/opt_state/step/epoch + dataset state.
+  * resume restores params/opt_state/step/epoch + dataset state AND the
+    in-epoch batch cursor: an end-of-epoch checkpoint records the NEXT
+    epoch (so completed epochs never replay — the mmcv runner saves
+    epoch+1 the same way), a mid-epoch checkpoint records how many
+    batches were consumed and the resumed epoch skips exactly that many.
 """
 
 from __future__ import annotations
@@ -101,13 +105,21 @@ class Runner:
 
     # -- checkpoint + eval -----------------------------------------------
 
-    def check(self):
+    def check(self, epoch: Optional[int] = None, cursor: int = 0):
         """Checkpoint then run all eval hooks; soft-fail like the
-        reference (main.py:157-177)."""
+        reference (main.py:157-177).
+
+        ``epoch``/``cursor`` describe where a resume should CONTINUE:
+        end-of-epoch saves (epoch + 1, 0), mid-epoch saves the batch
+        count consumed so far."""
         try:
             self.ckpt.save(
                 self.step, self.params, self.opt_state,
-                extra={"epoch": self.epoch, "ds_state": self.train_ds.state_dict()},
+                extra={
+                    "epoch": self.epoch if epoch is None else epoch,
+                    "cursor": int(cursor),
+                    "ds_state": self.train_ds.state_dict(),
+                },
             )
         except Exception:
             print("WARNING: checkpoint save failed")
@@ -129,7 +141,10 @@ class Runner:
             template={
                 "params": self.params,
                 "opt_state": self.opt_state,
-                "extra": {"epoch": 0, "ds_state": self.train_ds.state_dict()},
+                "extra": {
+                    "epoch": 0, "cursor": 0,
+                    "ds_state": self.train_ds.state_dict(),
+                },
             }
         )
         if restored is None:
@@ -139,11 +154,15 @@ class Runner:
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.epoch = int(state["extra"]["epoch"])
+        self._start_cursor = int(state["extra"].get("cursor", 0))
         try:
             self.train_ds.load_state_dict(state["extra"]["ds_state"])
         except Exception:
             pass
-        print(f"Resumed from step {self.step} (epoch {self.epoch})")
+        print(
+            f"Resumed from step {self.step} "
+            f"(epoch {self.epoch}, cursor {self._start_cursor})"
+        )
         return True
 
     # -- main loop ---------------------------------------------------------
@@ -152,10 +171,13 @@ class Runner:
         for epoch in range(self.epoch, self.max_epochs):
             self.epoch = epoch
             self.train_ds.reshuffle(epoch)
+            start_batch = getattr(self, "_start_cursor", 0)
+            self._start_cursor = 0  # only the resumed epoch skips
             loader = EpisodeLoader(
                 self.train_ds, self.batch_size, max_gt=self.max_gt,
-                pad_hw=self.pad_hw,
+                pad_hw=self.pad_hw, start_batch=start_batch,
             )
+            cursor = start_batch
             t_epoch = time.monotonic()
             for batch, _meta in loader:
                 if self.mesh is not None:
@@ -178,9 +200,11 @@ class Runner:
                         f"({dt_ms:.0f} ms)"
                     )
                 self.step += 1
+                cursor += 1
                 if self.step % self.part == 0:
-                    self.check()
+                    self.check(epoch=epoch, cursor=cursor)
             self._scalar("Time/TrainEpoch", (time.monotonic() - t_epoch) * 1000)
-            self.check()
+            # End of epoch: a resume must CONTINUE at the next epoch.
+            self.check(epoch=epoch + 1, cursor=0)
         self.ckpt.wait()
         return self.params

@@ -7,8 +7,13 @@
   * linear warmup 100 iters at ratio 0.01 → step decay γ 0.1 at epoch
     boundaries (lr_config, fgn_train_schedule.py:28-37).
 
-Weight decay is decoupled (applied additively to updates like mmcv's
-optimizer wd) and scaled by the schedule.
+Weight decay (documented deviation): decoupled — ``add_decayed_weights``
+applies AFTER the adaptive scaler, i.e. AdamW-style, whereas the
+reference's torch optimizers use coupled L2 (wd added to the gradient
+BEFORE adaptive scaling). At wd ≤ 5e-5 the difference is negligible and
+decoupled is the better-behaved variant; likewise ``scale_by_rss`` uses
+initial_accumulator_value 0.1 vs torch Adagrad's 0 (avoids the 1/√0
+first-step blow-up).
 """
 
 from __future__ import annotations

@@ -67,14 +67,67 @@ def test_runner_trains_checkpoints_and_resumes(tiny):
     ckpts = os.listdir(os.path.join(work, "checkpoints"))
     assert ckpts, "no checkpoints saved"
 
-    # Fresh runner in the same work_dir resumes at the last step and
-    # skips completed epochs.
+    # Fresh runner in the same work_dir resumes at the last step; the
+    # final checkpoint records epoch=max_epochs so completed epochs are
+    # NEVER replayed (the reference/mmcv saves epoch+1 the same way).
     runner2 = _build(ds, work)
     assert runner2.resume()
     assert runner2.step == runner.step
-    assert runner2.epoch == 1  # last epoch recorded
+    assert runner2.epoch == 2  # training is complete
     runner2.max_epochs = 2
-    runner2.run()  # resumes epoch 1 (re-runs it), not epoch 0
-    assert runner2.step >= runner.step
+    runner2.run()  # nothing left to do
+    assert runner2.step == runner.step
     runner2.ckpt.close()
     runner.ckpt.close()
+
+
+def test_mid_epoch_resume_consumes_each_episode_once(tiny):
+    """Kill mid-epoch, resume: every batch of the epoch must be consumed
+    exactly once across the two half-runs (VERDICT round-1 item 5)."""
+    ds, tmp = tiny
+    work = os.path.join(tmp, "run_cursor")
+    steps_per_epoch = len(ds) // 2
+
+    from fgn_tpu.data.batching import EpisodeLoader
+    from fgn_tpu.parallel.mesh import shard_batch
+    import jax as _jax
+
+    # First half: run 2 steps, checkpoint with cursor=2, then "crash".
+    runner = _build(ds, work)
+    runner.max_epochs = 1
+    runner.train_ds.reshuffle(0)
+    seen_first = []
+    loader = EpisodeLoader(runner.train_ds, 2, max_gt=8)
+    for i, (batch, meta) in enumerate(loader):
+        if i >= 2:
+            break
+        runner.rng, k = _jax.random.split(runner.rng)
+        runner.params, runner.opt_state, _ = runner.train_step(
+            runner.params, runner.opt_state,
+            shard_batch(batch, runner.mesh), k,
+        )
+        seen_first.append(tuple(meta.idx.tolist()))
+        runner.step += 1
+    runner.check(epoch=0, cursor=2)
+    runner.ckpt.wait()
+    runner.ckpt.close()
+
+    # Second half: fresh runner resumes mid-epoch with the saved cursor.
+    runner2 = _build(ds, work)
+    runner2.max_epochs = 1
+    assert runner2.resume()
+    assert runner2.step == 2
+    assert runner2._start_cursor == 2
+
+    runner2.train_ds.reshuffle(0)
+    loader2 = EpisodeLoader(
+        runner2.train_ds, 2, max_gt=8,
+        start_batch=runner2._start_cursor,
+    )
+    seen_second = [tuple(m.idx.tolist()) for _, m in loader2]
+
+    all_first = {i for t in seen_first for i in t}
+    all_second = {i for t in seen_second for i in t}
+    assert not (all_first & all_second), "episode consumed twice"
+    assert len(all_first) + len(all_second) == steps_per_epoch * 2
+    runner2.ckpt.close()
