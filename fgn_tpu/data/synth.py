@@ -174,6 +174,87 @@ def render_glyph(char: str, variant: int = 0) -> np.ndarray:
     return canvas
 
 
+def deform_glyph(img: np.ndarray, max_rotate: float = 25.0,
+                 elastic: float = 0.08) -> np.ndarray:
+    """Per-instance glyph deformation: stroke-thickness jitter, rotation,
+    and a coarse elastic warp.
+
+    The reference composites real handwriting (yymnist digits / Omniglot
+    letters) whose intra-class variation font rendering lacks; without
+    this the synthetic benchmark saturates (N3K3 mAP 1.000 in round 1).
+    Deformation happens BEFORE pasting so color-keyed mask recovery is
+    untouched."""
+    original = img
+    h, w = img.shape[:2]
+    pad = int(0.3 * max(h, w)) + 2
+    img = cv2.copyMakeBorder(
+        img, pad, pad, pad, pad, cv2.BORDER_CONSTANT, value=255
+    )
+    k = random.choice([0, 0, 1, 2])
+    if k:  # ink is dark: erode thickens, dilate thins
+        op = random.choice([cv2.erode, cv2.dilate])
+        img = op(img, np.ones((k + 1, k + 1), np.uint8))
+    ang = random.uniform(-max_rotate, max_rotate)
+    m = cv2.getRotationMatrix2D(
+        (img.shape[1] / 2, img.shape[0] / 2), ang, 1.0
+    )
+    img = cv2.warpAffine(
+        img, m, (img.shape[1], img.shape[0]),
+        flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+        borderValue=255,
+    )
+    gh = gw = 4
+    amp_x = elastic * img.shape[1]
+    amp_y = elastic * img.shape[0]
+    dx = cv2.resize(
+        np.random.uniform(-amp_x, amp_x, (gh, gw)).astype(np.float32),
+        (img.shape[1], img.shape[0]),
+    )
+    dy = cv2.resize(
+        np.random.uniform(-amp_y, amp_y, (gh, gw)).astype(np.float32),
+        (img.shape[1], img.shape[0]),
+    )
+    xs, ys = np.meshgrid(
+        np.arange(img.shape[1], dtype=np.float32),
+        np.arange(img.shape[0], dtype=np.float32),
+    )
+    img = cv2.remap(
+        img, xs + dx, ys + dy, cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=255,
+    )
+    if (img < 128).sum() < 4:  # warped the ink away: keep the original
+        return original
+    return cut_char_img(img)
+
+
+def paste_distractor(img: np.ndarray, crop: np.ndarray, bboxes,
+                     hw_max: int) -> bool:
+    """Paste an UNANNOTATED clutter glyph at a spot with ZERO overlap
+    with every annotated box (so color-keyed mask recovery, which only
+    looks inside annotated boxes, can never pick it up). Gray-toned so
+    it reads as background texture. Returns success."""
+    h_c, w_c = crop.shape[:2]
+    if h_c >= hw_max or w_c >= hw_max:
+        return False
+    boxes = np.asarray(bboxes, np.float64).reshape(-1, 4)
+    for _ in range(30):
+        ymin = np.random.randint(0, hw_max - h_c)
+        xmin = np.random.randint(0, hw_max - w_c)
+        y2, x2 = ymin + h_c, xmin + w_c
+        if len(boxes):
+            ix = np.minimum(boxes[:, 3], x2) - np.maximum(boxes[:, 1], xmin)
+            iy = np.minimum(boxes[:, 2], y2) - np.maximum(boxes[:, 0], ymin)
+            if ((ix > 0) & (iy > 0)).any():
+                continue
+        intensity = np.random.randint(90, 200)
+        inv = ((255 - crop).astype(np.float32) / 255.0)[..., None]
+        region = img[ymin:y2, xmin:x2].astype(np.float32)
+        blended = region * (1 - inv) + intensity * inv
+        img[ymin:y2, xmin:x2] = blended.astype(np.uint8)
+        return True
+    return False
+
+
 class GlyphBank:
     """Per-subset pools of glyph crops with category ids.
 
@@ -214,11 +295,18 @@ def create_ds(
     result_imgs_root_fp: str,
     img_new_size: int,
     seed: int = 8,
+    deform: bool = False,
+    distractors_max: int = 0,
 ) -> None:
     """Generator loop (reference: create_img_from_chars.py:161-247):
     per image, for each size class paste up to the class quota of glyphs
     with IoU < 0.2; keep images with >= 2 instances; write jpgs +
-    per-subset pickles of boxes / cat ids / colors."""
+    per-subset pickles of boxes / cat ids / colors.
+
+    ``deform`` applies per-instance glyph deformation and
+    ``distractors_max`` adds unannotated gray clutter glyphs — together
+    they substitute for the intra-class variation of the reference's
+    real handwriting sources."""
     np.random.seed(seed)
     random.seed(seed)
 
@@ -241,6 +329,8 @@ def create_ds(
                 for _ in range(n):
                     cat_id, glyph = glyph_bank.sample(subset)
                     crop = cut_char_img(glyph)
+                    if deform:
+                        crop = deform_glyph(crop)
                     crop = resize_char_img(crop, sizes_min_max_ratios[size])
                     result = paste_colored_char_img(
                         img, crop, bboxes_cur, colors_cur,
@@ -254,6 +344,17 @@ def create_ds(
 
             if len(bboxes_cur) < 2:
                 continue
+
+            for _ in range(np.random.randint(0, distractors_max + 1)
+                           if distractors_max else 0):
+                cat_id, glyph = glyph_bank.sample(subset)
+                crop = cut_char_img(glyph)
+                if deform:
+                    crop = deform_glyph(crop)
+                crop = resize_char_img(
+                    crop, sizes_min_max_ratios[sorted(sizes_max_amount)[0]]
+                )
+                paste_distractor(img, crop, bboxes_cur, img_new_size)
 
             cv2.imwrite(
                 os.path.join(subset_fp, "%06d.jpg" % counter), img[..., ::-1]
