@@ -47,3 +47,6 @@ eval_batch_size = 4
 max_gt = 30
 # Stage-1 checkpoint directory to initialize from.
 init_from = "runs/coco2voc_dcl"
+
+# COCO-scale anchor budget (see fgn_train_coco2voc.py).
+model = dict(rpn_train_nms_pre=12288, rpn_test_nms_pre=6144)

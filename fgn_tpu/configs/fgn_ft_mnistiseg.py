@@ -1,0 +1,55 @@
+# Finetune stage on MNISTISEG (reference fgn_ft.py pattern, applied to
+# the synthetic setup): base-digit Select (3K per base cat) merged with
+# novel-digit Select (K+1 per novel cat {1,3,5,7}), then eval on the
+# val-subset novel digits with FT=Use support banks.
+_base_ = ["fgn_r50_c4_scratch.py", "fgn_ft_schedule.py"]
+
+model = dict(n_ways=3, k_shots=3)
+
+ft_ds_cfg0 = dict(
+    n_ways=3,
+    k_shots=3,
+    ds_base_="MNISTISEG",
+    ds_base__subset="train",
+    ds_novel="MNISTISEG",
+    ds_novel_subset="val",
+    sampling_origin_ds="MNISTISEG",
+    sampling_origin_ds_subset="train",
+    sampling_cats="base_",
+    sampling_scenario="parents",
+    repeats=10,
+    shuffle=True,
+    qry_cats_choice_random=True,
+    spp_random=True,
+    delete_qry_insts_in_spp_insts_on_train=False,
+    finetune="Select",
+    spp_fill_ratio=0.8,
+    batch=4,
+)
+
+ft_ds_cfg1 = dict(
+    ft_ds_cfg0,
+    sampling_cats="novel",
+    repeats=10,
+)
+
+eval_ds_cfg0 = dict(
+    ft_ds_cfg1,
+    sampling_origin_ds_subset="val",
+    sampling_cats="novel",
+    finetune="Use",
+    repeats=1,
+    shuffle=False,
+    augment_qry=False,
+    augment_spp=False,
+    batch=4,
+)
+
+optimizer = dict(type="adam", lr=0.005)
+work_dir = "runs/mnistiseg_ft"
+batch_size = 4
+eval_batch_size = 4
+max_gt = 12
+# Stage-1 checkpoint directory to initialize from (per-NK variants
+# suffixed _N{n}K{k} are picked up by the grid driver).
+init_from = "runs/mnistiseg_n3k3_adam"

@@ -1,6 +1,11 @@
 # Stage-1 training on COCO2VOC base classes (reference fgn_train.py).
 _base_ = ["fgn_r50_c4_densecl.py", "fgn_train_schedule.py"]
 
+# 800×1333 inputs have ~62k anchors (vs ~13.5k at 480px); the static
+# top-k pre-NMS must scale with them or proposal recall suffers —
+# match the reference's 12000/6000 (fgn_r50_c4_densecl.py:151-155,174-181).
+model = dict(rpn_train_nms_pre=12288, rpn_test_nms_pre=6144)
+
 train_ds_cfg = dict(
     n_ways=3,
     k_shots=3,

@@ -306,22 +306,22 @@ class FewShotISEG:
         mixed-aspect datasets (:605-732)."""
         self.order = self.order_initial.copy()
         self._group_hw = {}
+        rnd = (
+            random.Random((2 ** int(e)) % 1000)
+            if e is not None else random.Random()
+        )
         if self.shuffle:
-            rnd = (
-                random.Random((2 ** int(e)) % 1000)
-                if e is not None else random.Random()
-            )
             order = self.order.tolist()
             rnd.shuffle(order)
             self.order = np.asarray(order, np.int64)
-        self._apply_ar_grouping()
+        self._apply_ar_grouping(rnd)
 
     def _entry_parent(self, entry: int) -> int:
         if self.sampling_scenario == "parents":
             return int(entry)
         return int(self.qrys_children[entry][0])
 
-    def _apply_ar_grouping(self):
+    def _apply_ar_grouping(self, rnd: Optional[random.Random] = None):
         """Group order entries by rounded aspect ratio so each batch has
         one static shape; per-entry target HW recorded in _group_hw.
 
@@ -354,11 +354,12 @@ class FewShotISEG:
             for pos in positions:
                 group_hw[len(new_order)] = tgt
                 new_order.append(int(self.order[pos]))
-        # chunk-shuffle whole batches so groups interleave
+        # chunk-shuffle whole batches so groups interleave (epoch-seeded
+        # rnd: the order must replay identically on resume)
         chunks = [
             list(range(i, i + bs)) for i in range(0, len(new_order), bs)
         ]
-        random.shuffle(chunks)
+        (rnd or random).shuffle(chunks)
         order, ghw = [], {}
         for chunk in chunks:
             for p in chunk:

@@ -7,7 +7,8 @@ stage-1 checkpoint, per-cell work_dir), skipping work_dirs that already
 exist (crash resumability).
 
 Usage:
-    python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_coco2voc.py
+    python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_coco2voc.py \
+        [--gammas 0.01,0.1] [--nks 3x3,3x1]
 """
 
 from __future__ import annotations
@@ -23,9 +24,9 @@ GAMMAS = (0.01, 0.05, 0.1)
 NK_GRID = ((1, 1), (3, 1), (3, 3))
 
 
-def run_grid(base_cfg_fp: str, cooldown_s: int = 0):
-    for gamma in GAMMAS:
-        for n, k in NK_GRID:
+def run_grid(base_cfg_fp: str, cooldown_s: int = 0, gammas=None, nks=None):
+    for gamma in (gammas or GAMMAS):
+        for n, k in (nks or NK_GRID):
             cfg = Config.from_file(base_cfg_fp)
             cfg.model.n_ways = n
             cfg.model.k_shots = k
@@ -50,5 +51,25 @@ def run_grid(base_cfg_fp: str, cooldown_s: int = 0):
                 time.sleep(cooldown_s)
 
 
+def _parse_args(argv):
+    cfg_fp = argv[0]
+    gammas = nks = None
+    i = 1
+    while i < len(argv):
+        if argv[i] == "--gammas":
+            gammas = tuple(float(v) for v in argv[i + 1].split(","))
+            i += 2
+        elif argv[i] == "--nks":
+            nks = tuple(
+                tuple(int(x) for x in v.split("x"))
+                for v in argv[i + 1].split(",")
+            )
+            i += 2
+        else:
+            raise SystemExit(f"unknown arg {argv[i]}")
+    return cfg_fp, gammas, nks
+
+
 if __name__ == "__main__":
-    run_grid(sys.argv[1])
+    cfg_fp, gammas, nks = _parse_args(sys.argv[1:])
+    run_grid(cfg_fp, gammas=gammas, nks=nks)
