@@ -33,9 +33,11 @@ ft_ds_cfg1 = dict(
     repeats=10,
 )
 
+# Reference protocol (fgn_ft.py:22-109): FT=Use on the SAME subset the
+# selection came from — supports are the exact finetuned instances,
+# queries are the novel-only images the selection left out.
 eval_ds_cfg0 = dict(
     ft_ds_cfg1,
-    sampling_origin_ds_subset="val",
     sampling_cats="novel",
     finetune="Use",
     repeats=1,
@@ -43,6 +45,13 @@ eval_ds_cfg0 = dict(
     augment_qry=False,
     augment_spp=False,
     batch=4,
+)
+
+# Additional generalization probe: FT=Use on the held-out val subset
+# (supports drawn from a val-side selection).
+eval_ds_cfg1 = dict(
+    eval_ds_cfg0,
+    sampling_origin_ds_subset="val",
 )
 
 optimizer = dict(type="adam", lr=0.005)

@@ -16,13 +16,16 @@ ft_ds_cfg1 = dict(
 )
 eval_ds_cfg0 = dict(
     ft_ds_cfg1,
-    sampling_origin_ds_subset="val",
     finetune="Use",
     repeats=1,
     shuffle=False,
     augment_qry=False,
     augment_spp=False,
     batch=4,
+)
+eval_ds_cfg1 = dict(
+    eval_ds_cfg0,
+    sampling_origin_ds_subset="val",
 )
 
 work_dir = "runs/omniiseg_ft"

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Sequential training queue (one CPU core, one TPU chip: runs must not
+# overlap). Order shares compiled shapes where possible:
+#   b8/N3K3 (mnist n3k3 -> omni n3k3 -> FT cells) then b10/N3K1 sweep.
+# Each run is bounded; failures are logged and the queue continues.
+set -u
+cd /root/repo
+LOG_DIR=/tmp/queue_logs
+mkdir -p "$LOG_DIR"
+
+run() {
+  local name="$1"; shift
+  echo "=== $(date -u +%H:%M:%S) START $name ==="
+  timeout 14400 "$@" > "$LOG_DIR/$name.log" 2>&1
+  local rc=$?
+  echo "=== $(date -u +%H:%M:%S) END $name rc=$rc ==="
+}
+
+run n3k3_adam   python -m fgn_tpu.main fgn_tpu/configs/fgn_train_mnistiseg_n3k3_adam.py
+run omni_adam   python -m fgn_tpu.main fgn_tpu/configs/fgn_train_omniiseg_adam.py
+run ft_mnist    python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_mnistiseg.py --gammas 0.1,0.01 --nks 3x3
+run ft_omni     python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_omniiseg.py --gammas 0.1 --nks 3x3
+run n3k1_adam   python -m fgn_tpu.main fgn_tpu/configs/fgn_train_mnistiseg_n3k1_adam.py
+run n3k1_lrlow  python -m fgn_tpu.main fgn_tpu/configs/fgn_train_mnistiseg_n3k1_lr_low.py
+run n3k1_lrhigh python -m fgn_tpu.main fgn_tpu/configs/fgn_train_mnistiseg_n3k1_lr_high.py
+echo "=== QUEUE DONE $(date -u) ==="
