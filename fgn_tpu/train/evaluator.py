@@ -14,6 +14,7 @@ Rebuild of the reference's OptEvalHook + FGN.simple_test result plumbing
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 from typing import Dict, List, Optional
 
@@ -36,6 +37,15 @@ def _paste_batch(mask_logits, boxes, H: int, W: int, thr: float):
     probs = jax.nn.sigmoid(mask_logits.reshape(B * D, *mask_logits.shape[2:]))
     out = paste_masks(probs, boxes.reshape(B * D, 4), H, W, threshold=thr)
     return out.reshape(B, D, H, W)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _paste_batch_packed(mask_logits, boxes, H: int, W: int, thr: float):
+    """Like _paste_batch but bit-packed along W — full-image masks are
+    the dominant device→host transfer (B·D·H·W bools); packing cuts the
+    tunnel traffic 8×. Unpack with np.unpackbits(…, count=W)."""
+    out = _paste_batch(mask_logits, boxes, H, W, thr)
+    return jnp.packbits(out, axis=-1)
 
 
 class Evaluator:
@@ -98,22 +108,28 @@ class Evaluator:
                 n_flushed += 1
                 results = []
 
-        for batch, meta in loader:
-            out = self.eval_step(params, batch)
-            out = jax.tree_util.tree_map(np.asarray, out)
+        t_host = t_fetch = 0.0
+        t_wall = time.monotonic()
+
+        def process(pending):
+            """Host side of one batch (runs while the device computes
+            the NEXT batch — the dispatch below is async)."""
+            nonlocal t_host, t_fetch
+            out_dev, packed_dev, batch, meta = pending
+            t0 = time.monotonic()
+            out = jax.tree_util.tree_map(np.asarray, out_dev)
+            packed = np.asarray(packed_dev)
+            t_fetch += time.monotonic() - t0
+            t0 = time.monotonic()
             H, W = batch.qry_img.shape[1:3]
-            masks = np.asarray(
-                _paste_batch(
-                    jnp.asarray(out["dt_mask_logits"]),
-                    jnp.asarray(out["dt_boxes"]),
-                    int(H), int(W), self.mask_thr,
-                )
-            )
             B = meta.n_real if meta.n_real > 0 else batch.qry_img.shape[0]
             for b in range(B):
                 valid = out["dt_valid"][b]
                 dt_boxes = out["dt_boxes"][b][valid]
                 h, w = batch.img_hw[b]
+                masks_b = np.unpackbits(
+                    packed[b][valid], axis=-1, count=int(W)
+                ).astype(bool)
                 res = {
                     "idx": int(meta.idx[b]),
                     "qry_child_idx": int(meta.qry_child_idx[b]),
@@ -130,13 +146,37 @@ class Evaluator:
                     "dt_bboxes": xyxy_to_yxyx(dt_boxes),
                     "dt_cat_ids": out["dt_cats"][b][valid],
                     "dt_isegmaps_rle": RLE.encode_mask_results(
-                        masks[b][valid][:, : int(h), : int(w)]
+                        masks_b[:, : int(h), : int(w)]
                     ),
                 }
                 results.append(res)
                 if len(results) >= self.chunk_size:
                     flush()
+            t_host += time.monotonic() - t0
+
+        # Double-buffered loop: batch i's host work overlaps batch
+        # i+1's device work (eval_step dispatch is async).
+        pending = None
+        n_batches = 0
+        for batch, meta in loader:
+            out = self.eval_step(params, batch)
+            H, W = batch.qry_img.shape[1:3]
+            packed = _paste_batch_packed(
+                out["dt_mask_logits"], out["dt_boxes"],
+                int(H), int(W), self.mask_thr,
+            )
+            n_batches += 1
+            if pending is not None:
+                process(pending)
+            pending = (out, packed, batch, meta)
+        if pending is not None:
+            process(pending)
         flush()
+        print(
+            f"eval [{self.tag}]: {n_batches} batches in "
+            f"{time.monotonic() - t_wall:.1f}s "
+            f"(device-fetch {t_fetch:.1f}s, host {t_host:.1f}s)"
+        )
 
         # Render a few episodes (gt | detections), like the reference's
         # 5-episode replot during evaluate (base_fst.py:1547-1577).
