@@ -241,6 +241,84 @@ class VOCDSParse:
         )
         return excluded
 
+    def count_stats(self) -> Dict:
+        """Dataset-QA statistics the reference computes alongside the
+        audits (voc_ds_parse.py:690-760): difficult-annotation counts
+        and out-of-bounds XML coordinate counts. Cached as
+        ``STATS_{SET}.json``."""
+        fp = os.path.join(self.root, f"STATS_{self.imgs_set.upper()}.json")
+        if check_file_if_exists(fp):
+            return read_json(fp)
+        stats = {
+            "n_images": len(self.ids), "total_anns": 0,
+            "difficult_anns": 0, "oob_boxes": 0,
+            "difficult_by_label": {}, "max_oob_px": 0.0,
+        }
+        for i in range(len(self.ids)):
+            boxes, _, names, difficult, size = self.get_ann_data_entry(i)
+            stats["total_anns"] += len(boxes)
+            stats["difficult_anns"] += int(difficult.sum())
+            for name, d in zip(names, difficult):
+                if d:
+                    key = str(name)
+                    stats["difficult_by_label"][key] = (
+                        stats["difficult_by_label"].get(key, 0) + 1
+                    )
+            if len(boxes):
+                over = np.concatenate([
+                    np.maximum(-boxes[:, :2], 0).reshape(-1),
+                    np.maximum(boxes[:, 2] - size[0], 0),
+                    np.maximum(boxes[:, 3] - size[1], 0),
+                ])
+                stats["oob_boxes"] += int(
+                    ((boxes[:, 0] < 0) | (boxes[:, 1] < 0)
+                     | (boxes[:, 2] > size[0] + 1)
+                     | (boxes[:, 3] > size[1] + 1)).sum()
+                )
+                stats["max_oob_px"] = max(
+                    stats["max_oob_px"], float(over.max())
+                )
+        write_json_unsafe(fp, stats)
+        return stats
+
+    def dump_evidence(self, out_dir: str) -> int:
+        """Render excluded images (XML boxes over the image | instance
+        PNG) — the reference commits these audit artifacts
+        (datasets/voc/resources/'IOU Mismatch/' etc.). Returns the
+        number of renders written."""
+        os.makedirs(out_dir, exist_ok=True)
+        reasons_fp = os.path.join(
+            self.root, f"EXCLUDED_{self.imgs_set.upper()}_REASONS.json"
+        )
+        self.get_excluded()
+        reasons = read_json(reasons_fp) if check_file_if_exists(
+            reasons_fp
+        ) else {}
+        n = 0
+        for i, img_id in enumerate(self.ids):
+            if img_id not in reasons:
+                continue
+            jpg = cv2.imread(
+                os.path.join(self.voc_root, "JPEGImages", f"{img_id}.jpg")
+            )
+            if jpg is None:
+                continue
+            ann_boxes, _, ann_names, _, _ = self.get_ann_data_entry(i)
+            for b, name in zip(ann_boxes.astype(int), ann_names):
+                cv2.rectangle(jpg, (b[1], b[0]), (b[3], b[2]), (0, 0, 255), 2)
+                cv2.putText(jpg, str(name), (b[1], max(b[0] - 3, 10)),
+                            cv2.FONT_HERSHEY_PLAIN, 1.0, (0, 0, 255), 1)
+            obj = self._read_png_rgb("SegmentationObject", img_id)[..., ::-1]
+            canvas = np.concatenate(
+                [jpg, np.ascontiguousarray(obj)], axis=1
+            )
+            reason = reasons[img_id].replace("/", "-")
+            cv2.imwrite(
+                os.path.join(out_dir, f"{reason} {img_id}.png"), canvas
+            )
+            n += 1
+        return n
+
     # -- results (reference get_result_entry/get_results, :762-887) ------------
 
     def get_results(self) -> List[Dict]:

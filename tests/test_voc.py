@@ -157,3 +157,20 @@ def test_results_and_vocds(fake_voc):
     for bb, m in zip(item["bboxes"].astype(int), item["isegmaps"]):
         inside = m[bb[0] : bb[2], bb[1] : bb[3]].sum()
         assert inside == m.sum() and inside > 0
+
+
+def test_stats_and_evidence(fake_voc, tmp_path):
+    voc_root, cache_root = fake_voc
+    p = VOCDSParse("trainval", voc_root=voc_root, root=cache_root)
+    stats = p.count_stats()
+    assert stats["n_images"] == 3
+    assert stats["total_anns"] == 4  # 2 + 1 + 1 xml objects
+    assert stats["difficult_anns"] == 0
+    assert stats["oob_boxes"] == 0
+    n = p.dump_evidence(str(tmp_path / "evidence"))
+    assert n == 2  # img1 (count mismatch) + img2 (low IoU)
+    import os as _os
+
+    names = _os.listdir(str(tmp_path / "evidence"))
+    assert any("img1" in f for f in names)
+    assert any("img2" in f for f in names)
