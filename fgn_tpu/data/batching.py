@@ -77,7 +77,14 @@ def collate_episodes(
     pad_hw: Optional[Tuple[int, int]] = None,
     keep_gt_masks: bool = False,
     n_real: Optional[int] = None,
+    pad_to_batch: Optional[int] = None,
 ) -> Tuple[EpisodeBatch, EpisodeMeta]:
+    if pad_to_batch and len(samples) < pad_to_batch:
+        if n_real is None:
+            n_real = len(samples)
+        samples = list(samples)
+        while len(samples) < pad_to_batch:
+            samples.append(samples[-1])
     B = len(samples)
     hws = np.array([s["qry_img"].shape[:2] for s in samples], np.int32)
     H, W = (pad_hw if pad_hw is not None else hws.max(axis=0))

@@ -1,8 +1,8 @@
 #!/bin/bash
-# Sequential training queue (one CPU core, one TPU chip: runs must not
-# overlap). Order shares compiled shapes where possible:
-#   b8/N3K3 (mnist n3k3 -> omni n3k3 -> FT cells) then b10/N3K1 sweep.
-# Each run is bounded; failures are logged and the queue continues.
+# Sequential training queue under the stall watchdog (one CPU core, one
+# TPU chip: runs must not overlap). Order shares compiled shapes where
+# possible. Tunnel hangs are killed + resumed automatically
+# (tools/watchdog.py + Runner checkpoint/cursor resume).
 set -u
 cd /root/repo
 LOG_DIR=/tmp/queue_logs
@@ -11,9 +11,8 @@ mkdir -p "$LOG_DIR"
 run() {
   local name="$1"; shift
   echo "=== $(date -u +%H:%M:%S) START $name ==="
-  timeout 14400 "$@" > "$LOG_DIR/$name.log" 2>&1
-  local rc=$?
-  echo "=== $(date -u +%H:%M:%S) END $name rc=$rc ==="
+  python tools/watchdog.py "$LOG_DIR/$name.log" 1500 -- "$@"
+  echo "=== $(date -u +%H:%M:%S) END $name rc=$? ==="
 }
 
 run n3k3_adam   python -m fgn_tpu.main fgn_tpu/configs/fgn_train_mnistiseg_n3k3_adam.py

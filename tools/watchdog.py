@@ -1,0 +1,87 @@
+"""Stall-detecting run supervisor (failure detection / elastic
+recovery, SURVEY.md §5.3).
+
+The axon TPU tunnel occasionally hangs an RPC forever (observed round 1
+on an eval, round 2 on a train step: process blocked in futex_wait at
+~0% CPU). The reference's soft-fail try/except can't catch a hang; this
+wrapper supervises a training command by its log liveness and restarts
+it on stall — the Runner's checkpoint+cursor resume makes the rerun
+continue where it left off, so a hang costs at most ``stall_s`` plus
+the work since the last checkpoint.
+
+    python tools/watchdog.py <log_fp> [stall_s] -- <command ...>
+
+Also importable: ``supervise(cmd, log_fp, stall_s, max_restarts)``.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+
+def supervise(
+    cmd,
+    log_fp: str,
+    stall_s: int = 1500,
+    max_restarts: int = 8,
+    poll_s: int = 30,
+    timeout_s: int = 14400,
+) -> int:
+    """Run ``cmd`` appending to ``log_fp``; kill + rerun when the log
+    goes silent for ``stall_s`` (first compiles can be silent ~8 min,
+    eval compiles ~20 — keep stall_s above those). Returns the final
+    exit code (0 on success, -1 if restarts are exhausted)."""
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    for attempt in range(max_restarts):
+        with open(log_fp, "ab", buffering=0) as log:
+            log.write(
+                f"\n=== watchdog attempt {attempt} {time.ctime()} ===\n"
+                .encode()
+            )
+            proc = subprocess.Popen(cmd, stdout=log, stderr=log, env=env)
+        t_start = time.time()
+        stalled = False
+        while True:
+            rc = proc.poll()
+            if rc is not None:
+                break
+            now = time.time()
+            quiet = now - os.path.getmtime(log_fp)
+            if quiet > stall_s or now - t_start > timeout_s:
+                stalled = True
+                with open(log_fp, "ab", buffering=0) as log:
+                    log.write(
+                        f"=== watchdog: stall ({quiet:.0f}s quiet) — "
+                        f"killing pid {proc.pid} ===\n".encode()
+                    )
+                proc.send_signal(signal.SIGKILL)
+                proc.wait()
+                break
+            time.sleep(poll_s)
+        if not stalled and proc.returncode == 0:
+            return 0
+        if not stalled and proc.returncode not in (None, 0):
+            # real failure (traceback in the log): one retry is still
+            # useful (transient tunnel errors), but don't loop on a bug
+            if attempt >= 1:
+                return proc.returncode
+    return -1
+
+
+def main():
+    args = sys.argv[1:]
+    sep = args.index("--")
+    pre, cmd = args[:sep], args[sep + 1:]
+    log_fp = pre[0]
+    stall_s = int(pre[1]) if len(pre) > 1 else 1500
+    rc = supervise(cmd, log_fp, stall_s=stall_s)
+    print(f"watchdog: final rc={rc}")
+    sys.exit(0 if rc == 0 else 1)
+
+
+if __name__ == "__main__":
+    main()
