@@ -102,8 +102,7 @@ class FSISEGEval:
         if n_gt == 0:
             return dt_scores, np.zeros(n_dt, bool), 0
 
-        iscrowd = [int(g.get("iscrowd", 0)) if isinstance(g, dict) else 0
-                   for g in np.zeros(n_gt)]  # episodic gts are never crowd
+        iscrowd = [0] * n_gt  # episodic gts are never crowd
         if self.iou_type == "bbox":
             dts = _yxyx_to_xywh(np.asarray(res["dt_bboxes"])[dt_sel][order])
             gts = _yxyx_to_xywh(np.asarray(res["qry_bboxes"])[gt_sel])
