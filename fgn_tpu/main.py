@@ -148,10 +148,15 @@ def main(cfg: Config):
         from fgn_tpu.train.checkpoints import CheckpointManager
 
         src = CheckpointManager(str(cfg.init_from))
-        restored = src.restore(template={"params": params, "opt_state": opt_state, "extra": {}})
+        # Template-free restore: the stage-1 run's extra/ds_state tree
+        # differs from this run's (different dataset), so only the raw
+        # on-disk tree is read and the params subtree is taken.
+        restored = src.restore()
         if restored is not None:
             params = restored[1]["params"]
             print(f"Initialized from stage-1 checkpoint at step {restored[0]}")
+        else:
+            print(f"WARNING: no stage-1 checkpoint in {cfg.init_from}")
 
     runner = Runner(
         model, params, opt_state, train_step, train_ds,
