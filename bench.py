@@ -5,22 +5,24 @@ flagship FGN geometry: OMNIISEG N3 K3, 480×480 queries, 9 support crops
 of 128×128, the full test path (backbone, AG-RPN, proposals+NMS,
 relation head, mask head), bf16 compute, Pallas RoIAlign.
 
-Reported numbers (all in the one JSON line the driver records):
-  * ``value``           — median PIPELINED imgs/s/chip over rounds of
-                          ``BENCH_ITERS`` dispatched back-to-back with a
-                          single final block (steady-state device rate;
-                          the tunnel RTT is amortized);
-  * ``blocked``         — median imgs/s with a block_until_ready every
-                          step (includes one tunnel round-trip per step —
-                          a LOWER bound; the training loop overlaps this);
-  * ``train``           — train-step imgs/s (pipelined), same geometry;
-  * ``flops_per_img``   — XLA cost-analysis FLOPs of the compiled
-                          inference step / batch;
-  * ``mfu``             — value × flops_per_img / chip bf16 peak.
+Measurement integrity: every timed iteration's input depends on the
+previous iteration's OUTPUT (a scalar bias derived from the detection
+scores feeds the next query image). Without this chaining the axon
+remote runtime elides repeated identical executions and reports
+physically impossible rates (round 1's 14.4k imgs/s — withdrawn; the
+chained numbers here are consistent with the XLA cost-analysis FLOPs).
 
-``vs_baseline``: the reference publishes no throughput numbers
-(BASELINE.md — its CUDA stack can't run here); ratio vs the previous
-round's recorded value, 1.0 on first run.
+Reported (one JSON line):
+  * ``value``         — chained steady-state imgs/s (median over rounds);
+  * ``blocked``       — same but block_until_ready every step;
+  * ``train``         — training-step imgs/s at the production batch
+                        (chained params, sharded batch, b12);
+  * ``flops_per_img`` — XLA cost analysis of the compiled inference step;
+  * ``mfu``           — value × flops_per_img / chip bf16 peak.
+
+``vs_baseline``: ratio against the previous round's recorded value
+(the reference publishes no throughput numbers and its CUDA stack
+cannot run here — BASELINE.md).
 """
 
 from __future__ import annotations
@@ -32,12 +34,13 @@ import statistics
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-# bf16 peak FLOP/s per chip by device kind (dense).
 _PEAK_BF16 = {
     "TPU v5e": 197e12,
     "TPU v5 lite": 197e12,
+    "TPU v5 litepod": 197e12,
     "TPU v4": 275e12,
     "TPU v6e": 918e12,
     "TPU v6 lite": 918e12,
@@ -45,29 +48,11 @@ _PEAK_BF16 = {
 
 
 def _peak_flops(device) -> float:
-    kind = getattr(device, "device_kind", "")
+    kind = str(getattr(device, "device_kind", ""))
     for key, val in _PEAK_BF16.items():
-        if key.lower() in str(kind).lower():
+        if key.lower() in kind.lower():
             return val
     return 197e12  # assume v5e
-
-
-def _median_rate(fn, args, B: int, n_iters: int, n_rounds: int,
-                 blocked: bool) -> float:
-    rates = []
-    for _ in range(n_rounds):
-        t0 = time.perf_counter()
-        if blocked:
-            for _ in range(n_iters):
-                out = fn(*args)
-                jax.block_until_ready(out)
-        else:
-            for _ in range(n_iters):
-                out = fn(*args)
-            jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        rates.append(B * n_iters / dt)
-    return statistics.median(rates)
 
 
 def main():
@@ -75,6 +60,7 @@ def main():
     from fgn_tpu.models.fgn import FGN, FGNConfig
 
     B = int(os.environ.get("BENCH_BATCH", 4))
+    TRAIN_B = int(os.environ.get("BENCH_TRAIN_BATCH", 12))
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
     n_rounds = int(os.environ.get("BENCH_ROUNDS", 5))
 
@@ -90,61 +76,80 @@ def main():
     )
     params = init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
 
-    step = jax.jit(lambda p, b: model.apply(p, b, method=FGN.test_forward))
-    lowered = step.lower(params, batch)
-    compiled = lowered.compile()
-    jax.block_until_ready(compiled(params, batch))  # warm
+    # -- inference: chained step ------------------------------------------
+    fbatch = batch._replace(qry_img=jnp.asarray(batch.qry_img, jnp.float32))
 
+    @jax.jit
+    def chained(p, b, bias):
+        bb = b._replace(qry_img=b.qry_img + bias)
+        out = model.apply(p, bb, method=FGN.test_forward)
+        return jnp.max(out["dt_scores"]) * 1e-9, out
+
+    lowered = jax.jit(
+        lambda p, b: model.apply(p, b, method=FGN.test_forward)
+    ).lower(params, batch)
     flops_per_batch = 0.0
     try:
-        cost = compiled.cost_analysis()
+        cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_batch = float(cost.get("flops", 0.0))
     except Exception:
         pass
 
-    pipelined = _median_rate(
-        compiled, (params, batch), B, n_iters, n_rounds, blocked=False
-    )
-    blocked = _median_rate(
-        compiled, (params, batch), B, max(n_iters // 4, 4),
-        max(n_rounds // 2, 2), blocked=True,
-    )
+    bias = jnp.float32(0.0)
+    bias, _ = chained(params, fbatch, bias)  # compile + warm
+    jax.block_until_ready(bias)
 
-    # train-step throughput (params donated copies avoided: re-feed the
-    # same params; optimizer state excluded — measures fwd+bwd+update)
+    def rate(blocked: bool) -> float:
+        rates = []
+        b_ = jnp.float32(0.0)
+        for _ in range(n_rounds):
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                b_, _out = chained(params, fbatch, b_)
+                if blocked:
+                    jax.block_until_ready(b_)
+            jax.block_until_ready(b_)
+            rates.append(B * n_iters / (time.perf_counter() - t0))
+        return statistics.median(rates)
+
+    pipelined = rate(blocked=False)
+    blocked = rate(blocked=True)
+
+    # -- train step at production batch (mirrors train/loop.py) -----------
     train_rate = 0.0
     try:
-        import optax
-
-        from fgn_tpu.parallel.mesh import make_mesh
+        from fgn_tpu.parallel.mesh import make_mesh, shard_batch
         from fgn_tpu.train.optim import build_optimizer, make_lr_schedule
         from fgn_tpu.train.train_step import make_train_step
 
+        tbatch = _toy_batch(B=TRAIN_B, H=480, W=480, N=3, K=3, S=128)
+        tparams = init(jax.random.PRNGKey(0), tbatch, jax.random.PRNGKey(1))
         tx = build_optimizer(
-            params, optimizer="adam",
+            tparams, optimizer="adam",
             schedule=make_lr_schedule(5e-3, steps_per_epoch=1000),
         )
-        opt_state = jax.jit(tx.init)(params)
-        mesh = make_mesh(jax.devices()[:1])
-        train_step, _ = make_train_step(model, tx, mesh)
+        opt_state = jax.jit(tx.init)(tparams)
+        mesh = make_mesh()
+        train_step, mesh = make_train_step(model, tx, mesh)
+        tbatch = shard_batch(tbatch, mesh)
         rng = jax.random.PRNGKey(2)
-        p, o = params, opt_state
-        p, o, m = train_step(p, o, batch, rng)  # compile + warm
-        jax.block_until_ready(m)
+        p, o = tparams, opt_state
+        p, o, m = train_step(p, o, tbatch, rng)
+        jax.block_until_ready(m["loss_total"])
         t_iters = max(n_iters // 2, 5)
         t0 = time.perf_counter()
         for _ in range(t_iters):
-            p, o, m = train_step(p, o, batch, rng)
-        jax.block_until_ready(m)
-        train_rate = B * t_iters / (time.perf_counter() - t0)
+            p, o, m = train_step(p, o, tbatch, rng)
+        jax.block_until_ready(m["loss_total"])
+        train_rate = TRAIN_B * t_iters / (time.perf_counter() - t0)
     except Exception as e:
         print(f"train-step bench skipped: {e}")
 
     flops_per_img = flops_per_batch / B if flops_per_batch else 0.0
     peak = _peak_flops(jax.devices()[0])
-    mfu = (pipelined * flops_per_img) / peak if flops_per_img else 0.0
+    mfu = (blocked * flops_per_img) / peak if flops_per_img else 0.0
 
     prev = None
     for fp in sorted(glob.glob("BENCH_r*.json")):
@@ -164,6 +169,7 @@ def main():
                 "vs_baseline": round(vs, 3),
                 "blocked": round(blocked, 2),
                 "train": round(train_rate, 2),
+                "train_batch": TRAIN_B,
                 "flops_per_img": round(flops_per_img / 1e9, 2),
                 "flops_unit": "GFLOP",
                 "mfu": round(mfu, 4),
