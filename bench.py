@@ -5,12 +5,15 @@ flagship FGN geometry: OMNIISEG N3 K3, 480×480 queries, 9 support crops
 of 128×128, the full test path (backbone, AG-RPN, proposals+NMS,
 relation head, mask head), bf16 compute, Pallas RoIAlign.
 
-Measurement integrity: every timed iteration's input depends on the
-previous iteration's OUTPUT (a scalar bias derived from the detection
-scores feeds the next query image). Without this chaining the axon
-remote runtime elides repeated identical executions and reports
-physically impossible rates (round 1's 14.4k imgs/s — withdrawn; the
-chained numbers here are consistent with the XLA cost-analysis FLOPs).
+Measurement integrity (two axon-tunnel pitfalls, both hit in rounds
+1-2): (a) repeated identical executions can be elided, so every timed
+iteration's input depends on the previous iteration's OUTPUT (a scalar
+bias derived from the detection scores feeds the next query image);
+(b) ``jax.block_until_ready`` does NOT reliably force remote execution
+— only materializing a value does — so timing always ends with an
+``np.asarray`` fetch of the chain's final scalar, which the dependency
+chain forces to execute every step. Round 1's 14.4k imgs/s (and the
+first round-2 numbers) predate these fixes and are withdrawn.
 
 Reported (one JSON line):
   * ``value``         — chained steady-state imgs/s (median over rounds);
@@ -99,7 +102,7 @@ def main():
 
     bias = jnp.float32(0.0)
     bias, _ = chained(params, fbatch, bias)  # compile + warm
-    jax.block_until_ready(bias)
+    float(np.asarray(bias))  # force the warm-up to really execute
 
     def rate(blocked: bool) -> float:
         rates = []
@@ -109,8 +112,9 @@ def main():
             for _ in range(n_iters):
                 b_, _out = chained(params, fbatch, b_)
                 if blocked:
-                    jax.block_until_ready(b_)
-            jax.block_until_ready(b_)
+                    b_ = jnp.float32(float(np.asarray(b_)))
+            # fetching the chain's tail forces every link to execute
+            float(np.asarray(b_))
             rates.append(B * n_iters / (time.perf_counter() - t0))
         return statistics.median(rates)
 
@@ -137,19 +141,22 @@ def main():
         rng = jax.random.PRNGKey(2)
         p, o = tparams, opt_state
         p, o, m = train_step(p, o, tbatch, rng)
-        jax.block_until_ready(m["loss_total"])
+        float(np.asarray(m["loss_total"]))  # real warm-up execution
         t_iters = max(n_iters // 2, 5)
         t0 = time.perf_counter()
         for _ in range(t_iters):
             p, o, m = train_step(p, o, tbatch, rng)
-        jax.block_until_ready(m["loss_total"])
+        # params chain step-to-step; fetching the last loss forces all
+        float(np.asarray(m["loss_total"]))
         train_rate = TRAIN_B * t_iters / (time.perf_counter() - t0)
     except Exception as e:
         print(f"train-step bench skipped: {e}")
 
     flops_per_img = flops_per_batch / B if flops_per_batch else 0.0
     peak = _peak_flops(jax.devices()[0])
-    mfu = (blocked * flops_per_img) / peak if flops_per_img else 0.0
+    # MFU from the chained pipelined rate (per-step RTT amortized; the
+    # chain guarantees every step really executed).
+    mfu = (pipelined * flops_per_img) / peak if flops_per_img else 0.0
 
     prev = None
     for fp in sorted(glob.glob("BENCH_r*.json")):
