@@ -16,21 +16,28 @@ ft_ds_cfg0 = dict(
     sampling_origin_ds="MNISTISEG",
     sampling_origin_ds_subset="train",
     sampling_cats="base_",
-    sampling_scenario="parents",
+    # Reference protocol: the ENTIRE FT pipeline (both FT training
+    # datasets and the FT=Use eval) runs sampling_scenario='children' —
+    # one episode per (image, category) pair (fgn_ft.py:38,68,98; its
+    # published tags are `..._novel_children`).
+    sampling_scenario="children",
     repeats=10,
     shuffle=True,
     qry_cats_choice_random=True,
+    qry_cats_order_shuffle=True,
     spp_random=True,
-    delete_qry_insts_in_spp_insts_on_train=False,
+    delete_qry_insts_in_spp_insts_on_train=True,
     finetune="Select",
     spp_fill_ratio=0.8,
     batch=4,
 )
 
+# Novel-select set: repeats=1 like the reference (fgn_ft.py:69 — the
+# base Select gets repeats=10, the novel Select does not).
 ft_ds_cfg1 = dict(
     ft_ds_cfg0,
     sampling_cats="novel",
-    repeats=10,
+    repeats=1,
 )
 
 # Reference protocol (fgn_ft.py:22-109): FT=Use on the SAME subset the

@@ -95,29 +95,34 @@ class Augmenter:
     _UNIF_BANK: Optional[np.ndarray] = None  # uint8 uniform, shared
 
     @classmethod
-    def _banks(cls):
-        if cls._NOISE_BANK is None:
+    def _banks(cls, need: int = 0):
+        # Banks must strictly exceed the request so randrange(size - need)
+        # has room; grow (power of two, min 2^21) for large COCO-resized
+        # images (e.g. 800x1333x3) instead of raising.
+        size = cls._NOISE_BANK.size if cls._NOISE_BANK is not None else 0
+        if size <= need + 1:
+            size = 1 << 21
+            while size <= need + 1:
+                size <<= 1
             rng = np.random.default_rng(0)
             cls._NOISE_BANK = np.round(
-                rng.standard_normal(1 << 21, dtype=np.float32) * 4.0
+                rng.standard_normal(size, dtype=np.float32) * 4.0
             ).astype(np.int16)
-            cls._UNIF_BANK = rng.integers(
-                0, 256, 1 << 21, dtype=np.uint8
-            )
+            cls._UNIF_BANK = rng.integers(0, 256, size, dtype=np.uint8)
         return cls._NOISE_BANK, cls._UNIF_BANK
 
     def _photometric(self, img: np.ndarray) -> np.ndarray:
         op = random.randrange(4)
         if op == 0:  # additive gaussian noise (bank slice, saturating add)
-            noise, _ = self._banks()
+            noise, _ = self._banks(img.size)
             n = img.size
             off = random.randrange(noise.size - n)
             return cv2.add(
                 img, noise[off: off + n].reshape(img.shape), dtype=cv2.CV_8U
             )
         if op == 1:  # impulse noise on ~3% of pixels
-            _, unif = self._banks()
             npix = img.shape[0] * img.shape[1]
+            _, unif = self._banks(npix + img.size)
             off = random.randrange(unif.size - npix - img.size)
             mask = unif[off: off + npix].reshape(img.shape[:2]) < 8  # ~3%
             out = img.copy()

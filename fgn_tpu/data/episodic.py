@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import random
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import cv2
@@ -78,6 +79,11 @@ class FewShotISEG:
     root = ""  # databag / selection cache dir
     inner_root = ""  # raw dataset root
     spp_img_size = 128
+    # LRU capacities (entries): decoded parent images (~0.8 MB each at
+    # 512px) and pre-augment support crops (~65 KB each at S=128). The
+    # host has ample RAM; 0 disables a cache.
+    img_cache_entries = 4096
+    spp_crop_cache_entries = 50000
     # bound by subclasses (data/fst_bindings.py)
     inner_ds_cl = None
 
@@ -114,6 +120,13 @@ class FewShotISEG:
         self.augmenter = Augmenter()
         self._overfit_cache = None
         self._group_hw: Dict[int, Tuple[int, int]] = {}
+        # Host-side LRU caches (reference keeps decoded-image / crop
+        # caches too, base_fst.py:1085-1159). Support-crop construction
+        # dominated the episode pipeline (44.6 of 54.7 ms/ep at N3K3,
+        # tools/host_bench.py round 3) and is ~all image-decode + mask
+        # reconstruction — both cacheable; augmentation stays per-use.
+        self._img_cache: "OrderedDict" = OrderedDict()
+        self._spp_crop_cache: "OrderedDict" = OrderedDict()
 
         self.load_dataset()
         self._build_order()
@@ -338,9 +351,11 @@ class FewShotISEG:
         bs = max(int(self.batch), 1)
         for ar in sorted(ars):
             positions = ars[ar]
-            # pad the group to a batch multiple by repeating entries
+            # pad the group to a batch multiple by cycling its own
+            # entries (rare-AR groups can be smaller than the batch)
+            n_orig = len(positions)
             while len(positions) % bs:
-                positions.append(positions[len(positions) % bs])
+                positions.append(positions[len(positions) % n_orig])
             # group target: the max resized hw over the group, stride-16
             hws = []
             for pos in positions:
@@ -384,7 +399,19 @@ class FewShotISEG:
     # -- image access (merged datasets may have two inner dss) ---------------
 
     def _read_parent_img(self, ds_id: int, inner_idx: int) -> np.ndarray:
-        return self.inner_dss[ds_id].read_img(inner_idx)
+        """Decoded-image LRU. Callers never mutate the returned array in
+        place (resize/warp/collate all copy)."""
+        key = (ds_id, inner_idx)
+        cache = self._img_cache
+        if key in cache:
+            cache.move_to_end(key)
+            return cache[key]
+        img = self.inner_dss[ds_id].read_img(inner_idx)
+        if self.img_cache_entries:
+            cache[key] = img
+            if len(cache) > self.img_cache_entries:
+                cache.popitem(last=False)
+        return img
 
     def _get_mask(self, inst: Dict) -> np.ndarray:
         return self.inner_dss[inst["ds_id"]].get_isegmap(
@@ -454,11 +481,36 @@ class FewShotISEG:
     def offset_ratio(self) -> float:
         return 1.0 / (2.0 * self.spp_fill_ratio) - 0.5
 
-    def _crop_support(self, inst: Dict):
+    def _crop_support(self, inst: Dict, _inst_id: Optional[int] = None):
         """Square crop around the instance box with offset_ratio padding
         (reflect-padded at image borders), resized to spp_img_size.
 
-        Returns (img (S,S,3), bbox YXYX in crop coords, mask (S,S))."""
+        Returns (img (S,S,3), bbox YXYX in crop coords, mask (S,S)).
+        The pre-augment crop is LRU-cached per instance id (decode +
+        mask reconstruction dominate episode construction); only the
+        random augmentation runs per use."""
+        if _inst_id is not None and self.spp_crop_cache_entries:
+            cache = self._spp_crop_cache
+            hit = cache.get(_inst_id)
+            if hit is not None:
+                cache.move_to_end(_inst_id)
+                return self._augment_spp_crop(*hit)
+            crop, bbox, mcrop = self._make_support_crop(inst)
+            cache[_inst_id] = (crop, bbox, mcrop)
+            if len(cache) > self.spp_crop_cache_entries:
+                cache.popitem(last=False)
+            return self._augment_spp_crop(crop, bbox, mcrop)
+        return self._augment_spp_crop(*self._make_support_crop(inst))
+
+    def _augment_spp_crop(self, crop, bbox, mcrop):
+        if not self.augment_spp:
+            return crop, bbox, mcrop
+        crop_a, bboxes_a, masks_a = self.augmenter(
+            crop, bbox[None], mcrop[None]
+        )
+        return crop_a, bboxes_a[0], np.asarray(masks_a[0], mcrop.dtype)
+
+    def _make_support_crop(self, inst: Dict):
         img = self._read_parent_img(inst["ds_id"], inst["inner_idx"])
         mask = self._get_mask(inst)
         h, w = img.shape[:2]
@@ -495,12 +547,6 @@ class FewShotISEG:
             [(y1 - iy1) * sy, (x1 - ix1) * sx, (y2 - iy1) * sy, (x2 - ix1) * sx],
             np.float32,
         )
-        if self.augment_spp:
-            crop, bboxes_a, masks_a = self.augmenter(
-                crop, bbox[None], mcrop[None]
-            )
-            bbox = bboxes_a[0]
-            mcrop = np.asarray(masks_a[0], mcrop.dtype)
         return crop, bbox, mcrop
 
     def get_support(self, cats: List[int], qry_inst_ids: Sequence[int],
@@ -530,7 +576,9 @@ class FewShotISEG:
                 else:
                     picks = [pool[k % len(pool)] for k in range(K)]
             for k, inst_id in enumerate(picks):
-                img, bbox, mask = self._crop_support(self.insts[inst_id])
+                img, bbox, mask = self._crop_support(
+                    self.insts[inst_id], _inst_id=int(inst_id)
+                )
                 slot = n * K + k
                 imgs[slot] = img
                 bboxes[slot] = bbox

@@ -27,7 +27,9 @@ from fgn_tpu.utils.io import read_pkl
 
 IOU_THR = 0.5
 MAX_DETS = 100
-_RECALL_POINTS = np.linspace(0.0, 1.0, 11)
+# COCOeval's 101-point recall grid (pycocotools Params.recThrs);
+# matches the reference FSISEGEval(COCOeval) interpolation exactly.
+_RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 
 
 def _yxyx_to_xywh(boxes: np.ndarray) -> np.ndarray:

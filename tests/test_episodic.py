@@ -233,3 +233,38 @@ def test_grain_loader_matches_threaded(fst):
     b0, g0 = threaded[0], grain_batches[0]
     assert b0.qry_img.shape == g0.qry_img.shape
     assert np.array_equal(np.asarray(b0.img_hw), np.asarray(g0.img_hw))
+
+
+def test_children_scenario(tiny_mnistiseg, fst, tmp_path_factory):
+    """children sampling: one order entry per (parent image, on-image
+    category); the episode's main cat is the child's cat, not a random
+    pick (reference fgn_ft.py:38,68,98 runs the whole FT pipeline under
+    sampling_scenario='children')."""
+    ds = MNISTFewShotISEG(
+        _make_cfg(tiny_mnistiseg, fst.root, sampling_scenario="children")
+    )
+    n_children = len(ds.qrys_children)
+    n_parents = len(ds.qrys_parents_)
+    assert len(ds) == n_children > n_parents  # multi-cat images expand
+
+    # each child entry must produce an episode whose sampled cats include
+    # exactly that child's category as the main cat
+    seen_parents = set()
+    for idx in range(min(n_children, 12)):
+        entry = int(ds.order[idx])
+        p_idx, cat = (int(v) for v in ds.qrys_children[entry])
+        s = ds[idx]
+        assert s["qry_child_idx"] == entry
+        assert int(s["cats_ids_to_sample_real"][0]) == cat or cat in [
+            int(c) for c in s["cats_ids_to_sample_real"]
+        ]
+        # the child's own category must appear among the query's gt cats
+        assert cat in [int(c) for c in s["qry_cat_ids_real"]]
+        seen_parents.add(p_idx)
+
+    # every (parent, cat) pair is enumerated exactly once per repeat
+    pairs = {tuple(int(v) for v in c) for c in ds.qrys_children}
+    assert len(pairs) == n_children
+    for p_idx, p in enumerate(ds.qrys_parents_):
+        for cat in p["cats_dict"]:
+            assert (p_idx, int(cat)) in pairs

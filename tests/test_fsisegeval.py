@@ -95,8 +95,8 @@ def test_missed_gt_reduces_recall():
     ]
     out = FSISEGEval(results=res, n_ways=3, iou_type="bbox").run()
     assert abs(out["mAR"] - 0.5) < 1e-9
-    # precision 1.0 up to recall 0.5, 0 beyond → 11-pt mAP = 6/11
-    assert abs(out["mAP"] - 6.0 / 11.0) < 1e-9
+    # precision 1.0 up to recall 0.5, 0 beyond → 101-pt mAP = 51/101
+    assert abs(out["mAP"] - 51.0 / 101.0) < 1e-9
 
 
 def test_score_ordering_matters():
@@ -146,3 +146,33 @@ def test_segm_differs_from_bbox():
     segm = FSISEGEval(results=[res], n_ways=1, iou_type="segm").run()
     assert bbox["mAP"] == 1.0
     assert segm["mAP"] == 0.0  # mask IoU ≈ 0.44 < 0.5
+
+
+def test_ap_matches_cocoeval_101pt_hand_computed():
+    """Cross-check against a hand-computed pycocotools-semantics PR curve.
+
+    One category, 3 gts, 4 dts with score-ordered match pattern
+    [TP, FP, TP, TP]:
+      recall    = [1/3, 1/3, 2/3, 1]
+      precision = [1, 1/2, 2/3, 3/4] -> right-monotone [1, .75, .75, .75]
+    COCOeval 101-point AP = (34*1.0 + 67*0.75) / 101 (recThrs 0.00..0.33
+    read precision 1.0; 0.34..1.00 read 0.75). mAR = 1.0.
+    """
+    res = [
+        _result(
+            gt_boxes=[[0, 0, 10, 10], [20, 20, 30, 30], [40, 40, 50, 50]],
+            gt_cats=[0, 0, 0],
+            dt_boxes=[
+                [0, 0, 10, 10],    # TP @0.9
+                [0, 40, 10, 50],   # FP @0.8 (no gt overlap)
+                [20, 20, 30, 30],  # TP @0.7
+                [40, 40, 50, 50],  # TP @0.6
+            ],
+            dt_cats=[0, 0, 0, 0],
+            dt_scores=[0.9, 0.8, 0.7, 0.6],
+        )
+    ]
+    out = FSISEGEval(results=res, n_ways=1, iou_type="bbox").run()
+    expected_ap = (34 * 1.0 + 67 * 0.75) / 101
+    assert abs(out["mAP"] - expected_ap) < 1e-9
+    assert out["mAR"] == 1.0
