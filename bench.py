@@ -30,7 +30,6 @@ cannot run here — BASELINE.md).
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import statistics
@@ -39,6 +38,12 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+try:  # skip the ~26-min remote recompiles on repeated runs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
 
 _PEAK_BF16 = {
     "TPU v5e": 197e12,
@@ -122,7 +127,12 @@ def main():
     blocked = rate(blocked=True)
 
     # -- train step at production batch (mirrors train/loop.py) -----------
+    # Round-2's recorded train rate (1.24 imgs/s) was measured while a
+    # queued training process shared the chip; on an idle device the
+    # step is ~0.14 s at b12 (tools/profile_train.py, round 3). bench
+    # MUST run on an idle chip/host.
     train_rate = 0.0
+    train_flops = 0.0
     try:
         from fgn_tpu.parallel.mesh import make_mesh, shard_batch
         from fgn_tpu.train.optim import build_optimizer, make_lr_schedule
@@ -139,6 +149,15 @@ def main():
         train_step, mesh = make_train_step(model, tx, mesh)
         tbatch = shard_batch(tbatch, mesh)
         rng = jax.random.PRNGKey(2)
+        try:
+            cost = train_step.lower(
+                tparams, opt_state, tbatch, rng
+            ).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            train_flops = float(cost.get("flops", 0.0))
+        except Exception:
+            pass
         p, o = tparams, opt_state
         p, o, m = train_step(p, o, tbatch, rng)
         float(np.asarray(m["loss_total"]))  # real warm-up execution
@@ -158,14 +177,19 @@ def main():
     # chain guarantees every step really executed).
     mfu = (pipelined * flops_per_img) / peak if flops_per_img else 0.0
 
-    prev = None
-    for fp in sorted(glob.glob("BENCH_r*.json")):
-        try:
-            rec = json.load(open(fp))
-            prev = float(rec.get("value", prev))
-        except Exception:
-            pass
-    vs = pipelined / prev if prev else 1.0
+    # vs_baseline: ratio against the analytic torch-GPU estimate in
+    # BASELINE.json["published"] (tools/baseline_estimate.py) — the
+    # reference publishes no throughput numbers.
+    base = None
+    try:
+        pub = json.load(open("BASELINE.json")).get("published", {})
+        base = float(pub.get("torch_gpu_inference_imgs_s_est", 0)) or None
+    except Exception:
+        pass
+    vs = pipelined / base if base else 1.0
+    train_mfu = (
+        train_flops * train_rate / TRAIN_B / peak if train_flops else 0.0
+    )
 
     print(
         json.dumps(
@@ -177,6 +201,10 @@ def main():
                 "blocked": round(blocked, 2),
                 "train": round(train_rate, 2),
                 "train_batch": TRAIN_B,
+                "train_flops_per_img": round(
+                    train_flops / TRAIN_B / 1e9, 2
+                ) if train_flops else 0.0,
+                "train_mfu": round(train_mfu, 4),
                 "flops_per_img": round(flops_per_img / 1e9, 2),
                 "flops_unit": "GFLOP",
                 "mfu": round(mfu, 4),

@@ -179,6 +179,8 @@ class Runner:
             )
             cursor = start_batch
             t_epoch = time.monotonic()
+            t_last_log = time.monotonic()
+            steps_since_log = 0
             for batch, _meta in loader:
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
@@ -187,10 +189,22 @@ class Runner:
                 self.params, self.opt_state, metrics = self.train_step(
                     self.params, self.opt_state, batch, step_rng
                 )
+                steps_since_log += 1
                 if self.step % self.log_interval == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
+                    # TrainStep: the sync window of THIS step (includes
+                    # draining any queued async dispatches — an upper
+                    # bound). TrainStepAvg: honest steady-state
+                    # wall-clock per step since the last log.
                     dt_ms = (time.monotonic() - t0) * 1000
+                    avg_ms = (
+                        (time.monotonic() - t_last_log) * 1000
+                        / max(steps_since_log, 1)
+                    )
+                    t_last_log = time.monotonic()
+                    steps_since_log = 0
                     self._scalar("Time/TrainStep", dt_ms)
+                    self._scalar("Time/TrainStepAvg", avg_ms)
                     self._log_hyperparams()
                     for k, v in metrics.items():
                         self._scalar(f"Train/{k}", v)
