@@ -23,6 +23,8 @@ ft_ds_cfg0 = dict(
     sampling_scenario="children",
     repeats=10,
     shuffle=True,
+    # training mask targets are consumed at H/4 (batching.py)
+    qry_mask_scale=4,
     qry_cats_choice_random=True,
     qry_cats_order_shuffle=True,
     spp_random=True,
@@ -51,6 +53,7 @@ eval_ds_cfg0 = dict(
     shuffle=False,
     augment_qry=False,
     augment_spp=False,
+    qry_mask_scale=1,
     batch=4,
 )
 

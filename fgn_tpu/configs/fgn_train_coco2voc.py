@@ -18,6 +18,9 @@ train_ds_cfg = dict(
     sampling_cats="base_",
     augment_qry=True,
     augment_spp=True,
+    # training mask targets are consumed at H/4 (batching.py) —
+    # build them at quarter res end-to-end (episodic.qry_mask_scale)
+    qry_mask_scale=4,
     sampling_scenario="parents",
     repeats=1,
     shuffle=True,
@@ -36,6 +39,7 @@ eval_ds_cfg0 = dict(
     shuffle=False,
     augment_qry=False,
     augment_spp=False,
+    qry_mask_scale=1,
     batch=4,
 )
 

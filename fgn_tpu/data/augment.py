@@ -141,12 +141,37 @@ class Augmenter:
 
     # -- pipeline ----------------------------------------------------------
 
+    @staticmethod
+    def _warp_masks(m: np.ndarray, masks: np.ndarray) -> np.ndarray:
+        """Warp a (g, mh, mw) mask stack in ONE cv2 call by moving g to
+        channels (the per-mask loop was an episode-pipeline hot spot).
+        Float masks (downsampled soft targets) warp bilinear; binary
+        masks warp nearest and stay boolean."""
+        g, mh, mw = masks.shape
+        soft = masks.dtype.kind == "f"
+        stack = np.ascontiguousarray(
+            np.moveaxis(masks if soft else masks.astype(np.uint8), 0, -1)
+        )
+        warped = cv2.warpAffine(
+            stack, m, (mw, mh),
+            flags=cv2.INTER_LINEAR if soft else cv2.INTER_NEAREST,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+        )
+        if warped.ndim == 2:  # g == 1: cv2 drops the channel axis
+            warped = warped[..., None]
+        out = np.moveaxis(warped, -1, 0)
+        return out if soft else out.astype(bool)
+
     def __call__(
         self,
         img: np.ndarray,
         bboxes_yxyx: np.ndarray,
         isegmaps: Optional[np.ndarray] = None,
+        mask_scale: int = 1,
     ):
+        """``mask_scale`` > 1 means ``isegmaps`` ride at 1/scale of the
+        image resolution (quarter-res training targets); the affine is
+        applied in that frame (same linear part, translation /scale)."""
         h, w = img.shape[:2]
         new_img, new_boxes, new_masks = img, bboxes_yxyx, isegmaps
 
@@ -171,15 +196,13 @@ class Augmenter:
                 new_img = warped_img
                 new_boxes = clipped.astype(np.float32)
                 if isegmaps is not None and len(isegmaps):
-                    masks = np.asarray(isegmaps).astype(np.uint8)
-                    warped = [
-                        cv2.warpAffine(
-                            mm, m, (w, h), flags=cv2.INTER_NEAREST,
-                            borderMode=cv2.BORDER_CONSTANT, borderValue=0,
-                        )
-                        for mm in masks
-                    ]
-                    new_masks = np.stack(warped).astype(bool)
+                    mm = m
+                    if mask_scale != 1:
+                        # M' = S @ A|t @ S^-1: linear part unchanged,
+                        # translation scales into the mask frame.
+                        mm = m.copy()
+                        mm[:, 2] /= mask_scale
+                    new_masks = self._warp_masks(mm, np.asarray(isegmaps))
 
         if self.photometric:
             new_img = self._photometric(np.ascontiguousarray(new_img))

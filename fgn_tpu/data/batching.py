@@ -58,10 +58,26 @@ _MASK_DOWNSCALE = 4
 
 
 def _downsample_mask(masks: np.ndarray, mh: int, mw: int) -> np.ndarray:
-    """(g, h, w) binary → (g, mh, mw) float32 via area resampling."""
+    """(g, h, w) binary → (g, mh, mw) float32 via area resampling.
+
+    Fast path: when (h, w) is an exact (mh, mw) multiple — always true
+    for the stride-16-snapped episode sizes — INTER_AREA is exactly a
+    block mean, computed vectorized over the whole stack (one numpy
+    reduction instead of g cv2 calls; collate was ~80 ms/batch in the
+    per-mask loop)."""
     if len(masks) == 0:
         return np.zeros((0, mh, mw), np.float32)
-    out = np.empty((len(masks), mh, mw), np.float32)
+    g, h, w = masks.shape
+    if (h, w) == (mh, mw):  # already downsampled by the episode engine
+        return np.asarray(masks, np.float32)
+    if h % mh == 0 and w % mw == 0:
+        fy, fx = h // mh, w // mw
+        return (
+            masks.reshape(g, mh, fy, mw, fx)
+            .astype(np.float32)
+            .mean(axis=(2, 4))
+        )
+    out = np.empty((g, mh, mw), np.float32)
     for i, m in enumerate(masks):
         out[i] = cv2.resize(
             np.asarray(m, np.float32), (mw, mh), interpolation=cv2.INTER_AREA

@@ -49,6 +49,24 @@ from fgn_tpu.data.synth import get_new_shape
 from fgn_tpu.utils.io import read_pkl, write_pkl_unsafe
 
 
+def _resize_mask_stack(masks: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """Resize a (g, h, w) mask stack in one cv2 call (g as channels).
+    Float masks (soft quarter-res targets) resize bilinear; binary
+    masks resize nearest and stay boolean/uint8."""
+    g = masks.shape[0]
+    soft = masks.dtype.kind == "f"
+    if masks.dtype == bool:
+        masks = masks.astype(np.uint8)
+    stack = np.ascontiguousarray(np.moveaxis(masks, 0, -1))
+    out = cv2.resize(
+        stack, (nw, nh),
+        interpolation=cv2.INTER_LINEAR if soft else cv2.INTER_NEAREST,
+    )
+    if g == 1:  # cv2 drops the channel axis
+        out = out[..., None]
+    return np.moveaxis(out, -1, 0)
+
+
 class FewShotISEG:
     # ---- typed-config schema: class attributes are the defaults
     # (reference base_fst.py:41-150) --------------------------------------
@@ -80,10 +98,20 @@ class FewShotISEG:
     inner_root = ""  # raw dataset root
     spp_img_size = 128
     # LRU capacities (entries): decoded parent images (~0.8 MB each at
-    # 512px) and pre-augment support crops (~65 KB each at S=128). The
-    # host has ample RAM; 0 disables a cache.
-    img_cache_entries = 4096
-    spp_crop_cache_entries = 50000
+    # 512px), pre-augment support crops (~65 KB each at S=128) and
+    # reconstructed instance masks (~0.26 MB each at 512px). The host
+    # has ample RAM (125 GB); sized to hold ALL of OMNIISEG (10k images,
+    # ~35k instances) so steady-state epochs pay zero decode/keying
+    # cost. 0 disables a cache.
+    img_cache_entries = 20000
+    spp_crop_cache_entries = 80000
+    mask_cache_entries = 80000
+    # Query-mask resolution divisor. Training configs set 4: mask
+    # targets are only ever consumed at H/4 (batching.py), so the whole
+    # query-mask pipeline (reconstruct → resize → warp → collate) runs
+    # at 1/16 the pixels. Eval datasets keep 1 — FSISEGEval matches
+    # against full-resolution gt masks.
+    qry_mask_scale = 1
     # bound by subclasses (data/fst_bindings.py)
     inner_ds_cl = None
 
@@ -127,6 +155,7 @@ class FewShotISEG:
         # reconstruction — both cacheable; augmentation stays per-use.
         self._img_cache: "OrderedDict" = OrderedDict()
         self._spp_crop_cache: "OrderedDict" = OrderedDict()
+        self._mask_cache: "OrderedDict" = OrderedDict()
 
         self.load_dataset()
         self._build_order()
@@ -413,10 +442,36 @@ class FewShotISEG:
                 cache.popitem(last=False)
         return img
 
-    def _get_mask(self, inst: Dict) -> np.ndarray:
-        return self.inner_dss[inst["ds_id"]].get_isegmap(
+    def _get_mask(self, inst: Dict, scale: int = 1) -> np.ndarray:
+        """Instance-mask LRU: color-key mask reconstruction is ~1.8 ms
+        per instance and is re-done for every query instance every epoch
+        — cache by (ds, image, slot, scale). ``scale`` > 1 caches the
+        block-mean-downsampled float32 mask (quarter-res training
+        targets). Callers never mutate the result (resize/warp/collate
+        all copy)."""
+        key = (inst["ds_id"], inst["inner_idx"], inst["slot"], scale)
+        cache = self._mask_cache
+        hit = cache.get(key)
+        if hit is not None:
+            cache.move_to_end(key)
+            return hit
+        mask = self.inner_dss[inst["ds_id"]].get_isegmap(
             inst["inner_idx"], inst["slot"]
         )
+        if scale != 1:
+            h, w = mask.shape
+            mh, mw = h // scale, w // scale
+            mask = (
+                mask[: mh * scale, : mw * scale]
+                .reshape(mh, scale, mw, scale)
+                .astype(np.float32)
+                .mean(axis=(1, 3))
+            )
+        if self.mask_cache_entries:
+            cache[key] = mask
+            if len(cache) > self.mask_cache_entries:
+                cache.popitem(last=False)
+        return mask
 
     # -- episode construction --------------------------------------------------
 
@@ -452,9 +507,12 @@ class FewShotISEG:
         cat_ids_real = np.asarray(
             [self.insts[i]["cat_id"] for i in inst_ids], np.int64
         )
+        ms = self.qry_mask_scale
         masks = (
-            np.stack([self._get_mask(self.insts[i]) for i in inst_ids])
-            if inst_ids else np.zeros((0, h, w), np.uint8)
+            np.stack([self._get_mask(self.insts[i], ms) for i in inst_ids])
+            if inst_ids
+            else np.zeros((0, h // ms, w // ms),
+                          np.float32 if ms != 1 else np.uint8)
         )
 
         if pad_hw is not None:
@@ -466,13 +524,10 @@ class FewShotISEG:
             sy, sx = new_h / h, new_w / w
             boxes = boxes * np.array([sy, sx, sy, sx], np.float32)
             if len(masks):
-                masks = np.stack([
-                    cv2.resize(m, (new_w, new_h), interpolation=cv2.INTER_NEAREST)
-                    for m in masks
-                ])
+                masks = _resize_mask_stack(masks, new_h // ms, new_w // ms)
 
         if self.augment_qry and len(boxes):
-            img, boxes, masks = self.augmenter(img, boxes, masks)
+            img, boxes, masks = self.augmenter(img, boxes, masks, mask_scale=ms)
         return img, boxes, cat_ids_real, masks, inst_ids
 
     # -- support crops (reference get_crop, base_fst.py:1000-1041) ----------
