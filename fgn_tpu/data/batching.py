@@ -33,10 +33,10 @@ class EpisodeBatch(NamedTuple):
     qry_boxes: np.ndarray  # (B, G, 4) XYXY float32
     qry_cats: np.ndarray  # (B, G) int32 episode cat ids
     qry_valid: np.ndarray  # (B, G) bool
-    qry_masks: np.ndarray  # (B, G, H/4, W/4) float32
+    qry_masks: np.ndarray  # (B, G, H/4, W/4) uint8 (0..255 = soft 0..1)
     spp_imgs: np.ndarray  # (B, N*K, S, S, 3)
     spp_boxes: np.ndarray  # (B, N*K, 4) XYXY in crop coords
-    spp_masks: np.ndarray  # (B, N*K, S, S) float32
+    spp_masks: np.ndarray  # (B, N*K, S, S) uint8 (0 or 255)
     img_hw: np.ndarray  # (B, 2) int32 true (unpadded) image size
     norm_mean: np.ndarray = np.zeros(3, np.float32)
     norm_std: np.ndarray = np.ones(3, np.float32)
@@ -115,10 +115,12 @@ def collate_episodes(
     qry_boxes = np.zeros((B, max_gt, 4), np.float32)
     qry_cats = np.zeros((B, max_gt), np.int32)
     qry_valid = np.zeros((B, max_gt), bool)
-    qry_masks = np.zeros((B, max_gt, mh, mw), np.float32)
+    # Masks ship uint8 (0..255): 4× less tunnel traffic than float32;
+    # the model dequantizes on device (fgn._mask_to_float).
+    qry_masks = np.zeros((B, max_gt, mh, mw), np.uint8)
     spp_imgs = np.zeros((B, NK, S, S, 3), img_dtype)
     spp_boxes = np.zeros((B, NK, 4), np.float32)
-    spp_masks = np.zeros((B, NK, S, S), np.float32)
+    spp_masks = np.zeros((B, NK, S, S), np.uint8)
 
     meta_boxes, meta_cats, meta_cats_real, meta_masks = [], [], [], []
     idxs, child_idxs, cats_sample, spp_ids = [], [], [], []
@@ -135,10 +137,14 @@ def collate_episodes(
             qry_valid[b, :g] = True
             masks = np.asarray(s["qry_isegmaps"])[:g]
             dm = _downsample_mask(masks, h // _MASK_DOWNSCALE, w // _MASK_DOWNSCALE)
-            qry_masks[b, :g, : dm.shape[1], : dm.shape[2]] = dm
+            qry_masks[b, :g, : dm.shape[1], : dm.shape[2]] = (
+                dm * 255.0 + 0.5
+            ).astype(np.uint8)
         spp_imgs[b] = s["spp_imgs"]
         spp_boxes[b] = np.asarray(s["spp_bboxes"], np.float32)[:, (1, 0, 3, 2)]
-        spp_masks[b] = np.asarray(s["spp_isegmaps"], np.float32)
+        spp_masks[b] = (
+            np.asarray(s["spp_isegmaps"], np.float32) * 255.0 + 0.5
+        ).astype(np.uint8)
 
         meta_boxes.append(boxes)
         meta_cats.append(np.asarray(s["qry_cat_ids"], np.int64))

@@ -63,6 +63,14 @@ from fgn_tpu.ops.roi_align import roi_align
 from fgn_tpu.ops.sample import random_sample_pos_neg
 
 
+def _mask_to_float(m):
+    """Mask inputs arrive float (0..1) or uint8 (0..255, the compact
+    host->device wire format — batching.py quantizes to cut tunnel
+    traffic); normalize to float 0..1 on device."""
+    f = m.astype(jnp.float32)
+    return f / 255.0 if m.dtype == jnp.uint8 else f
+
+
 @dataclasses.dataclass(frozen=True)
 class FGNConfig:
     """Model + train/test hyperparameters.
@@ -272,7 +280,7 @@ class FGN(nn.Module):
         S = spp_masks.shape[-1]
         rois = spp_boxes.reshape(B * NK, 1, 4).astype(jnp.float32)
         masks_aligned = roi_align(
-            spp_masks.reshape(B * NK, S, S, 1).astype(jnp.float32),
+            _mask_to_float(spp_masks).reshape(B * NK, S, S, 1),
             rois, 7, spatial_scale=1.0,
         )  # (B*NK, 1, 7, 7, 1)
         fmaps_aligned = self._roi_align_fmap(
@@ -543,7 +551,7 @@ class FGN(nn.Module):
         # targets: RoIAlign the (downsampled) gt masks at the pos rois
         mh, mw = batch.qry_masks.shape[2:]
         Himg = batch.qry_img.shape[1]
-        mask_fmap = batch.qry_masks.transpose(0, 2, 3, 1).astype(jnp.float32)
+        mask_fmap = _mask_to_float(batch.qry_masks).transpose(0, 2, 3, 1)
         aligned = roi_align(
             mask_fmap, rois[:, :P_max].astype(jnp.float32), c.mask_size,
             spatial_scale=float(mh) / float(Himg),

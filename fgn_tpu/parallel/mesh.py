@@ -60,6 +60,6 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place an EpisodeBatch on the mesh (batch axis sharded, stats
     replicated)."""
     shardings = episode_batch_shardings(mesh, axis)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s), batch, shardings
-    )
+    # One device_put over the whole pytree: the runtime can batch the
+    # uploads instead of paying the tunnel round-trip once per leaf.
+    return jax.device_put(batch, shardings)
