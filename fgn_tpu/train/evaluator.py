@@ -172,13 +172,27 @@ class Evaluator:
         # i+1's device work (eval_step dispatch is async).
         pending = None
         n_batches = 0
+        dbg = {"step": 0.0, "paste": 0.0, "fetch": 0.0}
         for batch, meta in loader:
+            sync = 1 <= n_batches <= 3  # skip batch 0 (compile)
+            t0 = time.monotonic()
             out = self.eval_step(params, batch)
+            if sync:
+                jax.block_until_ready(out)
+                dbg["step"] += time.monotonic() - t0
             H, W = batch.qry_img.shape[1:3]
+            t0 = time.monotonic()
             packed = _paste_batch_packed(
                 out["dt_mask_logits"], out["dt_boxes"],
                 int(H), int(W), self.mask_thr,
             )
+            if sync:
+                packed.block_until_ready()
+                dbg["paste"] += time.monotonic() - t0
+                t0 = time.monotonic()
+                np.asarray(packed)
+                jax.tree_util.tree_map(np.asarray, out)
+                dbg["fetch"] += time.monotonic() - t0
             n_batches += 1
             if pending is not None:
                 process(pending)
@@ -189,7 +203,9 @@ class Evaluator:
         print(
             f"eval [{self.tag}]: {n_batches} batches in "
             f"{time.monotonic() - t_wall:.1f}s "
-            f"(device-fetch {t_fetch:.1f}s, host {t_host:.1f}s)"
+            f"(device-fetch {t_fetch:.1f}s, host {t_host:.1f}s; "
+            f"sync x3: step {dbg['step']:.2f}s paste {dbg['paste']:.2f}s "
+            f"fetch {dbg['fetch']:.2f}s)"
         )
 
         # Render a few episodes (gt | detections), like the reference's
