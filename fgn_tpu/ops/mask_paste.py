@@ -14,6 +14,7 @@ grid_sample(align_corners=False): mask pixel centers sit at
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def _paste_weights(lo: jnp.ndarray, hi: jnp.ndarray, size: int, msize: int):
@@ -46,6 +47,48 @@ def paste_masks(
     rx = _paste_weights(boxes[:, 0], boxes[:, 2], img_w, mask_logits.shape[2])
     tmp = jnp.einsum("nyi,nij->nyj", ry, mask_logits.astype(jnp.float32))
     out = jnp.einsum("nyj,nxj->nyx", tmp, rx)
+    if threshold is not None:
+        return out > threshold
+    return out
+
+
+# -- numpy twin (host-side paste) -------------------------------------------
+#
+# The evaluator pastes on the HOST: fetching full-image masks from the
+# device costs ~0.84 s/batch over the tunnel (11.5 MB packed at ~15 MB/s
+# effective), while the mask logits are ~0.3 MB and only the handful of
+# valid detections need pasting (~2 small matmuls each). Numerics are
+# identical to paste_masks — cross-checked in tests/test_mask_paste.py.
+
+
+def _paste_weights_np(lo: np.ndarray, hi: np.ndarray, size: int, msize: int):
+    span = np.maximum(hi - lo, 1e-6)
+    img_c = np.arange(size, dtype=np.float32) + 0.5
+    m = (img_c[None, :] - lo[:, None]) / span[:, None] * msize - 0.5
+    inside = (img_c[None, :] >= lo[:, None]) & (img_c[None, :] <= hi[:, None])
+    mi = np.arange(msize, dtype=np.float32)
+    mc = np.clip(m, 0.0, msize - 1.0)
+    w = np.maximum(1.0 - np.abs(mc[:, :, None] - mi[None, None, :]), 0.0)
+    return (w * inside[:, :, None]).astype(np.float32)
+
+
+def paste_masks_np(
+    mask_probs: np.ndarray,  # (N, msize, msize) float
+    boxes: np.ndarray,  # (N, 4) XYXY in image coords
+    img_h: int,
+    img_w: int,
+    threshold: float | None = 0.5,
+):
+    """Host twin of paste_masks → (N, img_h, img_w)."""
+    if len(mask_probs) == 0:
+        out = np.zeros((0, img_h, img_w), np.float32)
+        return out > threshold if threshold is not None else out
+    boxes = np.asarray(boxes, np.float32)
+    probs = np.asarray(mask_probs, np.float32)
+    ry = _paste_weights_np(boxes[:, 1], boxes[:, 3], img_h, probs.shape[1])
+    rx = _paste_weights_np(boxes[:, 0], boxes[:, 2], img_w, probs.shape[2])
+    tmp = np.einsum("nyi,nij->nyj", ry, probs)
+    out = np.einsum("nyj,nxj->nyx", tmp, rx)
     if threshold is not None:
         return out > threshold
     return out

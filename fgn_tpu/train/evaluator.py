@@ -4,7 +4,11 @@ Rebuild of the reference's OptEvalHook + FGN.simple_test result plumbing
 (subprojects/sp02_omniiseg_fgn_mmdet/main.py:259-345, fgn.py:188-303):
 
   * jitted inference producing fixed-size detections;
-  * full-image masks pasted on device, RLE-encoded on host;
+  * full-image masks pasted on HOST from the fetched mask logits (the
+    device-paste + packed-mask fetch cost ~0.84 s/batch of tunnel
+    time; the logits are ~40× smaller and only valid detections need
+    pasting) — the device paste kernels below remain for callers that
+    want masks on device;
   * per-episode result dicts (same keys as the reference) flushed to
     pickle chunks of ``chunk_size``;
   * FSISEGEval over both bbox and segm, metric tags in the reference's
@@ -25,8 +29,12 @@ import numpy as np
 from fgn_tpu.data import rle as RLE
 from fgn_tpu.data.batching import EpisodeLoader
 from fgn_tpu.data.fsisegeval import FSISEGEval
-from fgn_tpu.ops.mask_paste import paste_masks
+from fgn_tpu.ops.mask_paste import paste_masks, paste_masks_np
 from fgn_tpu.ops.boxes import xyxy_to_yxyx
+
+
+def _sigmoid_np(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
 from fgn_tpu.utils.io import create_empty_dir_unsafe, write_pkl_unsafe
 
 
@@ -127,12 +135,15 @@ class Evaluator:
 
         def process(pending):
             """Host side of one batch (runs while the device computes
-            the NEXT batch — the dispatch below is async)."""
+            the NEXT batch — the dispatch below is async). Full-image
+            masks are pasted HERE, on the host, from the (tiny) mask
+            logits: fetching device-pasted masks cost ~0.84 s/batch of
+            tunnel time (11.5 MB packed at ~15 MB/s device→host), while
+            only the few valid detections ever need pasting."""
             nonlocal t_host, t_fetch
-            out_dev, packed_dev, batch, meta = pending
+            out_dev, batch, meta = pending
             t0 = time.monotonic()
             out = jax.tree_util.tree_map(np.asarray, out_dev)
-            packed = np.asarray(packed_dev)
             t_fetch += time.monotonic() - t0
             t0 = time.monotonic()
             H, W = batch.qry_img.shape[1:3]
@@ -141,9 +152,12 @@ class Evaluator:
                 valid = out["dt_valid"][b]
                 dt_boxes = out["dt_boxes"][b][valid]
                 h, w = batch.img_hw[b]
-                masks_b = np.unpackbits(
-                    packed[b][valid], axis=-1, count=int(W)
-                ).astype(bool)
+                probs = _sigmoid_np(
+                    out["dt_mask_logits"][b][valid].astype(np.float32)
+                )
+                masks_b = paste_masks_np(
+                    probs, dt_boxes, int(H), int(W), self.mask_thr
+                )
                 res = {
                     "idx": int(meta.idx[b]),
                     "qry_child_idx": int(meta.qry_child_idx[b]),
@@ -172,7 +186,7 @@ class Evaluator:
         # i+1's device work (eval_step dispatch is async).
         pending = None
         n_batches = 0
-        dbg = {"step": 0.0, "paste": 0.0, "fetch": 0.0}
+        dbg = {"step": 0.0, "fetch": 0.0}
         for batch, meta in loader:
             sync = 1 <= n_batches <= 3  # skip batch 0 (compile)
             t0 = time.monotonic()
@@ -180,23 +194,13 @@ class Evaluator:
             if sync:
                 jax.block_until_ready(out)
                 dbg["step"] += time.monotonic() - t0
-            H, W = batch.qry_img.shape[1:3]
-            t0 = time.monotonic()
-            packed = _paste_batch_packed(
-                out["dt_mask_logits"], out["dt_boxes"],
-                int(H), int(W), self.mask_thr,
-            )
-            if sync:
-                packed.block_until_ready()
-                dbg["paste"] += time.monotonic() - t0
                 t0 = time.monotonic()
-                np.asarray(packed)
                 jax.tree_util.tree_map(np.asarray, out)
                 dbg["fetch"] += time.monotonic() - t0
             n_batches += 1
             if pending is not None:
                 process(pending)
-            pending = (out, packed, batch, meta)
+            pending = (out, batch, meta)
         if pending is not None:
             process(pending)
         flush()
@@ -204,8 +208,7 @@ class Evaluator:
             f"eval [{self.tag}]: {n_batches} batches in "
             f"{time.monotonic() - t_wall:.1f}s "
             f"(device-fetch {t_fetch:.1f}s, host {t_host:.1f}s; "
-            f"sync x3: step {dbg['step']:.2f}s paste {dbg['paste']:.2f}s "
-            f"fetch {dbg['fetch']:.2f}s)"
+            f"sync x3: step {dbg['step']:.2f}s fetch {dbg['fetch']:.2f}s)"
         )
 
         # Render a few episodes (gt | detections), like the reference's
