@@ -23,9 +23,9 @@ Reported (one JSON line):
   * ``flops_per_img`` — XLA cost analysis of the compiled inference step;
   * ``mfu``           — value × flops_per_img / chip bf16 peak.
 
-``vs_baseline``: ratio against the previous round's recorded value
-(the reference publishes no throughput numbers and its CUDA stack
-cannot run here — BASELINE.md).
+``vs_baseline``: ratio against the analytic torch-GPU estimate in
+BASELINE.json["published"] (tools/baseline_estimate.py — the reference
+publishes no throughput numbers and its CUDA stack cannot run here).
 """
 
 from __future__ import annotations
