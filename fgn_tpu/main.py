@@ -152,11 +152,15 @@ def main(cfg: Config):
         # differs from this run's (different dataset), so only the raw
         # on-disk tree is read and the params subtree is taken.
         restored = src.restore()
-        if restored is not None:
-            params = restored[1]["params"]
-            print(f"Initialized from stage-1 checkpoint at step {restored[0]}")
-        else:
-            print(f"WARNING: no stage-1 checkpoint in {cfg.init_from}")
+        if restored is None:
+            # Hard error: silently finetuning from scratch would produce
+            # a plausible-looking but protocol-invalid FT cell.
+            raise FileNotFoundError(
+                f"no stage-1 checkpoint in {cfg.init_from} — run the "
+                "matching stage-1 config first"
+            )
+        params = restored[1]["params"]
+        print(f"Initialized from stage-1 checkpoint at step {restored[0]}")
 
     runner = Runner(
         model, params, opt_state, train_step, train_ds,
