@@ -198,6 +198,15 @@ class Evaluator:
                 jax.tree_util.tree_map(np.asarray, out)
                 dbg["fetch"] += time.monotonic() - t0
             n_batches += 1
+            # Start device→host copies NOW: they overlap the next
+            # batch's device compute, and the later np.asarray finds the
+            # data already on host (the per-leaf synchronous fetch paid
+            # one ~44 ms tunnel RTT per output leaf otherwise).
+            try:
+                for leaf in jax.tree_util.tree_leaves(out):
+                    leaf.copy_to_host_async()
+            except Exception:
+                pass
             if pending is not None:
                 process(pending)
             pending = (out, batch, meta)

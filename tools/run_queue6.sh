@@ -28,6 +28,13 @@ run n1k1_adam python -m fgn_tpu.main fgn_tpu/configs/fgn_train_mnistiseg_n1k1_ad
 
 # --- complete the reference FT grid (main_ft skips existing cells) ---
 ln -sfn /root/repo/runs/mnistiseg_n1k1_adam2 /root/repo/runs/mnistiseg_n3k3_adam_N1K1
+# N3K1 FT init: whichever bisect variant produced a stage-1 checkpoint
+for d in runs/mnistiseg_n3k1_adam runs/mnistiseg_n3k1_b8 runs/mnistiseg_n3k1_jnp; do
+  if [ -n "$(ls $d/checkpoints 2>/dev/null)" ]; then
+    ln -sfn "/root/repo/$d" /root/repo/runs/mnistiseg_n3k3_adam_N3K1
+    break
+  fi
+done
 run ft_grid python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_mnistiseg.py --gammas 0.1,0.05,0.01 --nks 1x1,3x1,3x3
 
 echo "=== QUEUE6 DONE $(date -u) ==="
