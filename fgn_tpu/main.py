@@ -140,6 +140,7 @@ def main(cfg: Config):
                     work_dir=str(cfg.work_dir),
                     max_gt=max_gt,
                     mask_thr=mcfg.mask_thr,
+                    cache_episodes=bool(cfg.get("eval_cache_episodes", True)),
                 )
             )
 

@@ -98,6 +98,19 @@ class Evaluator:
             f"{ds.sampling_cats.rstrip('_')}_{ds.sampling_scenario}"
         )
 
+    def run_fresh(self, params) -> Dict[str, float]:
+        """One pass with freshly sampled episodes/supports, leaving the
+        cache untouched. The reference protocol re-samples supports on
+        EVERY eval pass; with ``cache_episodes`` the epoch curves use a
+        single fixed draw (a documented speed tradeoff), so the final
+        reported number comes from this fresh-draw pass instead."""
+        cache, self._episode_cache = self._episode_cache, None
+        keep, self.cache_episodes = self.cache_episodes, False
+        try:
+            return self.run(params)
+        finally:
+            self.cache_episodes, self._episode_cache = keep, cache
+
     def run(self, params) -> Dict[str, float]:
         if self._episode_cache is not None:
             loader = self._episode_cache

@@ -253,5 +253,21 @@ class Runner:
             self._scalar("Time/TrainEpoch", (time.monotonic() - t_epoch) * 1000)
             # End of epoch: a resume must CONTINUE at the next epoch.
             self.check(epoch=epoch + 1, cursor=0)
+        # Final fresh-support pass: cached-episode epoch curves measure
+        # one fixed support draw; the reference re-samples supports per
+        # pass, so the reported final numbers come from a fresh draw
+        # (tagged `…_fresh`).
+        for ev in self.evaluators:
+            try:
+                metrics = ev.run_fresh(self.params)
+                for k, v in metrics.items():
+                    self._scalar(k + "_fresh", v)
+                print(
+                    f"[{datetime_log_fancy()}] final fresh-support eval:",
+                    metrics,
+                )
+            except Exception:
+                print("WARNING: fresh-support eval failed")
+                traceback.print_exc()
         self.ckpt.wait()
         return self.params
