@@ -3,8 +3,8 @@
 Rebuild of the reference's main_ft.py:54-137: grid over
 step-γ ∈ {.01, .05, .1} × (N, K) ∈ {(1,1), (3,1), (3,3)}, mutating the
 base finetune config per cell (N/K into model + dataset configs, per-N-K
-stage-1 checkpoint, per-cell work_dir), skipping work_dirs that already
-exist (crash resumability).
+stage-1 checkpoint, per-cell work_dir), skipping cells whose work_dir
+holds an FT_DONE completion marker (crash resumability).
 
 Usage:
     python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_coco2voc.py \
@@ -42,11 +42,20 @@ def run_grid(base_cfg_fp: str, cooldown_s: int = 0, gammas=None, nks=None):
                 cand = f"{cfg.init_from}_N{n}K{k}"
                 if os.path.isdir(cand):
                     cfg.init_from = cand
-            if os.path.isdir(str(cfg.work_dir)):
-                print(f"Skipping existing {cfg.work_dir}")
+            # Crash resumability: only a COMPLETED cell is skipped. The
+            # reference skips on bare dir existence (main_ft.py:122-124),
+            # but under a crash-restarting supervisor that turns a cell
+            # that died mid-run into a silent no-op (observed: a cell
+            # whose first attempt crashed at step 0 was "done" on retry).
+            done_marker = os.path.join(str(cfg.work_dir), "FT_DONE")
+            if os.path.exists(done_marker):
+                print(f"Skipping completed {cfg.work_dir}")
                 continue
             print(f"=== FT grid cell {cell} ===")
             main(cfg)
+            os.makedirs(str(cfg.work_dir), exist_ok=True)
+            with open(done_marker, "w") as f:
+                f.write(time.strftime("%Y-%m-%d %H:%M:%S\n"))
             if cooldown_s:
                 time.sleep(cooldown_s)
 
