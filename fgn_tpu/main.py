@@ -43,11 +43,14 @@ def model_config_from_cfg(cfg: Config) -> FGNConfig:
 
 def batch_heuristic(n_ways: int, k_shots: int) -> int:
     """Reference batch-size heuristic by (N, K)
-    (main.py:487-501): N1K1 → 12, N3K1 → 10, N3K3 → 8."""
+    (main.py:487-501): N1K1 → 12, N3K1 → 10, N3K3 → 8.
+
+    N3K1 is capped at 8 here: the reference's batch-10 geometry kills
+    the TPU worker at step 0 (HBM exhaustion in the relation/NMS stage;
+    reproduced 3x in stage-1 and once via the FT grid, see RESULTS.md
+    "N3K1 batch-10 worker crash")."""
     if n_ways == 1 and k_shots == 1:
         return 12
-    if n_ways == 3 and k_shots == 1:
-        return 10
     return 8
 
 

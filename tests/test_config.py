@@ -84,9 +84,10 @@ def test_model_config_from_cfg_and_batch_heuristic():
     # unknown keys in the dict are ignored, not fatal
     cfg.model["bogus_key"] = 1
     model_config_from_cfg(cfg)
-    # reference heuristic (main.py:487-501)
+    # reference heuristic (main.py:487-501), except N3K1 capped at 8:
+    # the reference's batch 10 kills the TPU worker (RESULTS.md)
     assert batch_heuristic(1, 1) == 12
-    assert batch_heuristic(3, 1) == 10
+    assert batch_heuristic(3, 1) == 8
     assert batch_heuristic(3, 3) == 8
 
 
