@@ -11,6 +11,10 @@ cd /root/repo
 LOG_DIR=/tmp/queue_logs
 mkdir -p "$LOG_DIR"
 LAST_START=${LAST_START:-1786999800}   # 20:50 UTC — runs must finish by ~21:20
+KILL_BY=${KILL_BY:-1787000900}         # 21:08 UTC — hard wall so the chip is
+                                       # idle before the driver's bench.py
+                                       # (round-2's bench was polluted by a
+                                       # concurrent training process)
 RC=0
 
 WAIT_PID=${1:-}
@@ -29,7 +33,13 @@ run() {
     return
   fi
   echo "=== $(date -u +%H:%M:%S) START $name ==="
-  python tools/watchdog.py "$LOG_DIR/$name.log" 1500 -- "$@"
+  local budget=$(( KILL_BY - $(date +%s) ))
+  if [ "$budget" -lt 120 ]; then
+    echo "=== SKIP $name (under 120s to KILL_BY) ==="
+    RC=125
+    return
+  fi
+  timeout -k 60 "$budget" python tools/watchdog.py "$LOG_DIR/$name.log" 1500 -- "$@"
   RC=$?
   echo "=== $(date -u +%H:%M:%S) END $name rc=$RC ==="
   sleep 45

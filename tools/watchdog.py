@@ -36,6 +36,18 @@ def supervise(
     eval compiles ~20 — keep stall_s above those). Returns the final
     exit code (0 on success, -1 if restarts are exhausted)."""
     env = dict(os.environ, PYTHONUNBUFFERED="1")
+    current = []
+
+    def _forward(signum, frame):
+        # a supervisor (e.g. `timeout` in a run queue) terminating us
+        # must also end the supervised run — an orphaned training
+        # process would keep the chip busy
+        for p in current:
+            if p.poll() is None:
+                p.send_signal(signal.SIGKILL)
+        raise SystemExit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _forward)
     for attempt in range(max_restarts):
         with open(log_fp, "ab", buffering=0) as log:
             log.write(
@@ -43,6 +55,7 @@ def supervise(
                 .encode()
             )
             proc = subprocess.Popen(cmd, stdout=log, stderr=log, env=env)
+        current[:] = [proc]
         t_start = time.time()
         stalled = False
         while True:
