@@ -128,6 +128,9 @@ class FewShotISEG:
         assert self.sampling_cats in ("base_", "novel", "all")
         assert self.sampling_scenario in ("parents", "children")
         os.makedirs(self.root, exist_ok=True)
+        # cat -> times the post-exclusion support pool emptied and fell
+        # back to the full pool (see get_support)
+        self._spp_pool_fallbacks: Dict[int, int] = {}
 
         self.inner_ds = self.make_inner_ds(
             self.sampling_origin_ds, self.sampling_origin_ds_subset
@@ -623,6 +626,20 @@ class FewShotISEG:
                 pool = [
                     i for i in self.cats_insts_list[c] if i not in excluded
                 ]
+                if not pool:
+                    # Degenerate few-shot case: every instance of cat c
+                    # is in the query image — e.g. a K=1 novel cat whose
+                    # greedy FT selection could only reach one instance
+                    # (candidate images must contain ONLY allowed cats,
+                    # which the deformed-glyph val split makes scarce).
+                    # The reference raises NotImplementedError here
+                    # (base_fst.py:1067-1075); reusing the full pool
+                    # (support == query instance) is the only defined
+                    # support and keeps the FT pipeline runnable.
+                    pool = list(self.cats_insts_list[c])
+                    self._spp_pool_fallbacks[c] = (
+                        self._spp_pool_fallbacks.get(c, 0) + 1
+                    )
                 assert pool, f"no support instances for cat {c}"
                 if self.spp_random:
                     picks = [

@@ -89,3 +89,26 @@ def test_merge_ds(ft_setup):
     # episodes sample from the merged pool
     s = ds0[0]
     assert len(s["cats_ids_to_sample_real"]) == 3
+
+
+def test_support_pool_fallback_when_query_holds_all_instances(ft_setup):
+    # Degenerate K=1 FT case observed in production (N3K1 grid cell):
+    # the greedy novel selection reached only ONE instance for a cat, so
+    # any episode querying that instance's image empties the support
+    # pool after exclusion. The reference raises NotImplementedError
+    # (base_fst.py:1067-1075); we fall back to the full pool (support ==
+    # query instance) and count the event.
+    root, fst_root = ft_setup
+    use = MNISTFewShotISEG(
+        _cfg(root, fst_root, finetune="Use",
+             sampling_cats="novel", ds_novel_subset="val")
+    )
+    cat = int(use.insts[next(iter(
+        i for pool in use.cats_insts_list for i in pool
+    ))]["cat_id"])
+    all_of_cat = list(use.cats_insts_list[cat])
+    # exclude EVERY instance of the cat, as if they were all in-query
+    imgs, bboxes, masks, ids = use.get_support([cat] * use.n_ways,
+                                               qry_inst_ids=all_of_cat)
+    assert set(int(v) for v in ids) <= set(all_of_cat)
+    assert use._spp_pool_fallbacks.get(cat, 0) >= 1
