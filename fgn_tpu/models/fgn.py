@@ -86,6 +86,10 @@ class FGNConfig:
     k_shots: int = 3
     guidance: bool = True  # False = plain Faster/Mask R-CNN (sp01 mode)
     backbone_norm: str = "gn"
+    # res5 norm ablation (reference GN-vs-BN table, MNISTISEG_N3_K3
+    # notebook: GN 0.965 vs BN 0.919). "bn" here is the frozen-stat
+    # affine from make_norm — the mmdet norm_eval analog.
+    res5_norm: str = "gn"
     backbone_frozen: bool = False
     deep_stem: bool = False
     avg_down: bool = False
@@ -156,7 +160,7 @@ class FGN(nn.Module):
         self.rpn_cls = nn.Conv(A, (1, 1), dtype=dt)
         self.rpn_reg = nn.Conv(A * 4, (1, 1), dtype=dt)
         # RoI tower
-        self.shared5 = SharedRes5(norm="gn", dtype=dt)
+        self.shared5 = SharedRes5(norm=c.res5_norm, dtype=dt)
         self.rel_conv_roi = nn.Conv(1024, (1, 1), dtype=dt)
         # bias only on the roi half: conv(concat) has a single bias
         self.rel_conv_spp = nn.Conv(1024, (1, 1), use_bias=False, dtype=dt)

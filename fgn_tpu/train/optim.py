@@ -87,6 +87,10 @@ def build_optimizer(
             scaler = optax.scale_by_adam()
         elif optimizer == "sgd":
             scaler = optax.trace(decay=0.9, nesterov=True)
+        elif optimizer == "adadelta":
+            # reference optimizer-sweep point (torch Adadelta defaults:
+            # rho 0.9, eps 1e-6 — MNISTISEG_N1_K1 notebook table)
+            scaler = optax.scale_by_adadelta(rho=0.9, eps=1e-6)
         else:
             raise ValueError(optimizer)
         return optax.chain(

@@ -1,0 +1,40 @@
+"""Optimizer factory: every reference sweep optimizer builds and steps.
+
+Reference sweep (graphs/MNISTISEG_N1_K1 notebook, LR 0.01 WD 1e-05):
+Adadelta / SGD / Adagrad / Adam — fgn_train_schedule.py analogs in
+fgn_tpu/train/optim.py.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fgn_tpu.train.optim import build_optimizer, make_lr_schedule
+
+
+@pytest.mark.parametrize("opt", ["adagrad", "adam", "sgd", "adadelta"])
+def test_build_and_step(opt):
+    params = {
+        "params": {
+            "backbone": {"w": jnp.ones((4, 4))},
+            "fc_cls": {"w": jnp.ones((4,))},  # roi-head module: 0.1x lr
+        }
+    }
+    tx = build_optimizer(
+        params, base_lr=1e-2, optimizer=opt,
+        schedule=make_lr_schedule(1e-2, steps_per_epoch=10),
+    )
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    new = jax.tree.map(lambda p, u: p + u, params, updates)
+    # a unit gradient must move every leaf, and in the descent direction
+    for leaf, old in zip(jax.tree.leaves(new), jax.tree.leaves(params)):
+        assert jnp.all(jnp.isfinite(leaf))
+        assert jnp.all(leaf < old)
+
+
+def test_unknown_optimizer_raises():
+    params = {"params": {"backbone": {"w": jnp.ones((2,))}}}
+    with pytest.raises(ValueError):
+        tx = build_optimizer(params, optimizer="rmsprop")
+        tx.init(params)
