@@ -31,5 +31,8 @@ run ft_n1k1      python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_mnistiseg.py -
 run ft_mnist_g001 python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_mnistiseg.py --gammas 0.01 --nks 3x3
 run ft_omni_g005 python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_omniiseg.py --gammas 0.05 --nks 3x3
 run ft_omni_g001 python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_omniiseg.py --gammas 0.01 --nks 3x3
+# Stretch: the reference Worst/Best table's WD variants
+run n1k1_adam01_wd5e5 python -m fgn_tpu.main fgn_tpu/configs/fgn_train_mnistiseg_n1k1_adam01_wd5e5.py
+run n1k1_adagrad01_wd001 python -m fgn_tpu.main fgn_tpu/configs/fgn_train_mnistiseg_n1k1_adagrad01_wd001.py
 
 echo "=== QUEUE12 DONE $(date -u) rc=$RC ==="
