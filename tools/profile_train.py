@@ -90,7 +90,9 @@ def _toy(batch_b):
 
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "full"
-    _apply_ablation(variant)
+    # "eval_<ablation>" = the inference path with a component ablated
+    # (MFU-composition attribution: eval − eval_nms_off = NMS cost etc.)
+    _apply_ablation(variant[5:] if variant.startswith("eval_") else variant)
 
     from fgn_tpu.models.fgn import FGN, FGNConfig
 
@@ -123,12 +125,24 @@ def main():
 
         run = lambda bias: step(params, batch, bias)
         flops = _cost(step, params, batch, jnp.float32(0.0))
-    elif variant == "eval":
+    elif variant == "eval" or variant.startswith("eval_"):
         @jax.jit
         def step(p, b, bias):
             bb = b._replace(qry_img=b.qry_img + bias)
             out = model.apply(p, bb, method=FGN.test_forward)
             return jnp.max(out["dt_scores"]) * 1e-9
+
+        run = lambda bias: step(params, batch, bias)
+        flops = _cost(step, params, batch, jnp.float32(0.0))
+    elif variant == "extract":
+        # forward-only feature extraction (query + support towers) —
+        # the conv-roofline floor of the inference path
+        @jax.jit
+        def step(p, b, bias):
+            bb = b._replace(qry_img=b.qry_img + bias)
+            qf, sf = model.apply(p, bb, method=FGN._extract)
+            return (jnp.max(qf.astype(jnp.float32))
+                    + jnp.max(sf.astype(jnp.float32))) * 1e-9
 
         run = lambda bias: step(params, batch, bias)
         flops = _cost(step, params, batch, jnp.float32(0.0))
