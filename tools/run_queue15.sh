@@ -44,6 +44,9 @@ run ft_n3k1_g001 python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_mnistiseg.py -
 run ft_n1k1_g005 python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_mnistiseg.py --gammas 0.05 --nks 1x1
 run ft_n1k1_g001 python -m fgn_tpu.main_ft fgn_tpu/configs/fgn_ft_mnistiseg.py --gammas 0.01 --nks 1x1
 
+# --- N1K1 extended schedule (the lever that closed N3K1) ---
+run n1k1_8ep python -m fgn_tpu.main fgn_tpu/configs/fgn_train_mnistiseg_n1k1_8ep.py
+
 # --- warm .jax_cache for the driver's end-of-round bench ---
 run bench python bench.py
 
