@@ -127,10 +127,8 @@ def main():
     blocked = rate(blocked=True)
 
     # -- train step at production batch (mirrors train/loop.py) -----------
-    # Round-2's recorded train rate (1.24 imgs/s) was measured while a
-    # queued training process shared the chip; on an idle device the
-    # step is ~0.14 s at b12 (tools/profile_train.py, round 3). bench
-    # MUST run on an idle chip/host.
+    # On an idle device the step is ~0.14 s at b12 (tools/profile_train.py
+    # and the warmed rounds below). bench MUST run on an idle chip/host.
     train_rate = 0.0
     train_flops = 0.0
     try:
@@ -159,15 +157,26 @@ def main():
         except Exception:
             pass
         p, o = tparams, opt_state
-        p, o, m = train_step(p, o, tbatch, rng)
-        float(np.asarray(m["loss_total"]))  # real warm-up execution
-        t_iters = max(n_iters // 2, 5)
-        t0 = time.perf_counter()
-        for _ in range(t_iters):
+        # Warm-up must cover TWO calls: the first runs on the fresh-init
+        # params, the second on the donated outputs (whose explicit
+        # replicated shardings differ from init's), which triggers a
+        # second one-time compile (~75 s through the tunnel) — timing a
+        # single round right after a one-call warm-up measures that
+        # compile, not the step (the round-2/round-3-queue15 "train:
+        # 1.24/1.39 imgs/s" artifact).
+        for _ in range(2):
             p, o, m = train_step(p, o, tbatch, rng)
-        # params chain step-to-step; fetching the last loss forces all
-        float(np.asarray(m["loss_total"]))
-        train_rate = TRAIN_B * t_iters / (time.perf_counter() - t0)
+            float(np.asarray(m["loss_total"]))  # real warm-up execution
+        t_iters = max(n_iters // 4, 5)
+        t_rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(t_iters):
+                p, o, m = train_step(p, o, tbatch, rng)
+            # params chain step-to-step; fetching the last loss forces all
+            float(np.asarray(m["loss_total"]))
+            t_rates.append(TRAIN_B * t_iters / (time.perf_counter() - t0))
+        train_rate = statistics.median(t_rates)
     except Exception as e:
         print(f"train-step bench skipped: {e}")
 
