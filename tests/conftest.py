@@ -17,8 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Persistent compile cache: repeated test runs skip recompilation.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# Persistent compile cache kept in-repo (tests/.jax_test_cache, gitignored;
+# populated on first run): repeated full-suite runs skip the ~2 min XLA CPU
+# compiles in test_model/test_runner/test_train_e2e. The cache key covers
+# jax/XLA version + HLO, so stale entries are just misses.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
