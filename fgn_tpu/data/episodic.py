@@ -366,16 +366,31 @@ class FewShotISEG:
             return int(entry)
         return int(self.qrys_children[entry][0])
 
+    def _parent_resize_policy(self, parent: Dict) -> Tuple[int, int]:
+        """(target_size, max_size) for a parent by its ORIGIN dataset.
+
+        Merged FT datasets (COCO base + VOC novel) keep per-dataset
+        resize policies like the reference's concatenated per-dataset
+        pipelines (coco_ds.py 800/1333 vs voc_ds.py 512/512) — without
+        this, VOC-origin FT queries would be upscaled to the COCO
+        canvas, a silent 800-vs-512 protocol deviation (and ~3x wasted
+        pixels) relative to the VOC-only FT=Use eval."""
+        ds = self.inner_dss[int(parent.get("ds_id", 0))]
+        return int(ds.target_size), int(ds.max_size)
+
     def _apply_ar_grouping(self, rnd: Optional[random.Random] = None):
-        """Group order entries by rounded aspect ratio so each batch has
-        one static shape; per-entry target HW recorded in _group_hw.
+        """Group order entries by (origin ds, rounded aspect ratio) so
+        each batch has one static shape; per-entry target HW recorded in
+        _group_hw.
 
         Square-image datasets (MNISTISEG/OMNIISEG) collapse to a single
         group and this is a no-op."""
         ars = {}
         for pos, entry in enumerate(self.order):
-            h, w = self.qrys_parents_[self._entry_parent(int(entry))]["hw"]
-            ars.setdefault(round(float(h) / float(w), 1), []).append(pos)
+            parent = self.qrys_parents_[self._entry_parent(int(entry))]
+            h, w = parent["hw"]
+            key = (int(parent.get("ds_id", 0)), round(float(h) / float(w), 1))
+            ars.setdefault(key, []).append(pos)
         if len(ars) <= 1:
             return
         new_order = []
@@ -391,10 +406,12 @@ class FewShotISEG:
             # group target: the max resized hw over the group, stride-16
             hws = []
             for pos in positions:
-                h, w = self.qrys_parents_[
+                parent = self.qrys_parents_[
                     self._entry_parent(int(self.order[pos]))
-                ]["hw"]
-                hws.append(get_new_shape(h, w, self.target_size, self.max_size))
+                ]
+                h, w = parent["hw"]
+                tgt_size, max_size = self._parent_resize_policy(parent)
+                hws.append(get_new_shape(h, w, tgt_size, max_size))
             hws = np.asarray(hws)
             tgt = hws.max(axis=0)
             tgt = tuple(int(-16 * (-v // 16)) for v in tgt)  # snap up to /16
@@ -521,7 +538,8 @@ class FewShotISEG:
         if pad_hw is not None:
             new_h, new_w = pad_hw
         else:
-            new_h, new_w = get_new_shape(h, w, self.target_size, self.max_size)
+            tgt_size, max_size = self._parent_resize_policy(parent)
+            new_h, new_w = get_new_shape(h, w, tgt_size, max_size)
         if (new_h, new_w) != (h, w):
             img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
             sy, sx = new_h / h, new_w / w
