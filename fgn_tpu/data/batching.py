@@ -104,7 +104,12 @@ def collate_episodes(
     B = len(samples)
     hws = np.array([s["qry_img"].shape[:2] for s in samples], np.int32)
     H, W = (pad_hw if pad_hw is not None else hws.max(axis=0))
-    H, W = int(H), int(W)
+    # Canvas padded to a multiple of 32 (mmdet Pad(size_divisor=32)
+    # equivalent): stride-2 conv chains and avg_down shortcuts disagree
+    # on odd intermediate sizes (800x1066 -> 134 vs 133 at /8), and the
+    # C4 stride-16 feature map must divide evenly for the anchor grid.
+    H = -(-int(H) // 32) * 32
+    W = -(-int(W) // 32) * 32
     mh, mw = H // _MASK_DOWNSCALE, W // _MASK_DOWNSCALE
 
     NK = samples[0]["spp_imgs"].shape[0]

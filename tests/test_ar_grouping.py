@@ -128,7 +128,9 @@ def test_samples_and_collate_at_group_shapes(mixed_ds):
         shapes = {s["qry_img"].shape for s in samples}
         assert len(shapes) == 1
         batch, meta = collate_episodes(samples, ds.mean, ds.std, max_gt=6)
-        assert batch.qry_img.shape[1:3] == samples[0]["qry_img"].shape[:2]
+        # canvas = sample size rounded up to /32 (Pad(size_divisor=32))
+        h, w = samples[0]["qry_img"].shape[:2]
+        assert batch.qry_img.shape[1:3] == (-(-h // 32) * 32, -(-w // 32) * 32)
 
 
 def test_train_and_test_forward_on_grouped_batches(mixed_ds):

@@ -64,7 +64,8 @@ def test_coco_stage1_episodes_and_collate(syn_roots):
     batch, meta = collate_episodes(
         samples, ds.mean, ds.std, max_gt=30, pad_hw=(800, 1072)
     )
-    assert batch.qry_img.shape == (4, 800, 1072, 3)
+    # collate rounds the canvas up to /32 (Pad(size_divisor=32) equiv)
+    assert batch.qry_img.shape == (4, 800, 1088, 3)
     assert batch.spp_imgs.shape == (4, 9, 256, 256, 3)
 
 
