@@ -123,6 +123,7 @@ def main(cfg: Config):
         optimizer=cfg.optimizer.type,
         roi_head_lr_mult=float(cfg.optimizer.get("roi_head_lr_mult", 0.1)),
         schedule=schedule,
+        cumulative_iters=int(cfg.optimizer.get("cumulative_iters", 1)),
     )
     opt_state = tx.init(params)
 

@@ -77,6 +77,7 @@ def build_optimizer(
     optimizer: str = "adagrad",
     roi_head_lr_mult: float = 0.1,
     schedule=None,
+    cumulative_iters: int = 1,
 ) -> optax.GradientTransformation:
     schedule = schedule or (lambda step: base_lr)
 
@@ -100,6 +101,16 @@ def build_optimizer(
         )
 
     labels = _roi_mask(params)
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"main": core(1.0), "roi": core(roi_head_lr_mult)}, labels
     )
+    if cumulative_iters > 1:
+        # Gradient accumulation (reference fgn_train_schedule.py:19-25,
+        # GradientCumulativeOptimizerHook with cumulative_iters=4 —
+        # experimented upstream, shipped disabled). MultiSteps averages
+        # grads over k micro-batches and applies one optimizer step; the
+        # inner schedule then advances once per k iterations (mmcv's
+        # hook keeps per-iter LR stepping — negligible at γ-step
+        # schedules, documented here).
+        tx = optax.MultiSteps(tx, every_k_schedule=int(cumulative_iters))
+    return tx

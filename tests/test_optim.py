@@ -38,3 +38,28 @@ def test_unknown_optimizer_raises():
     with pytest.raises(ValueError):
         tx = build_optimizer(params, optimizer="rmsprop")
         tx.init(params)
+
+
+def test_cumulative_iters_accumulates():
+    """Gradient accumulation (reference fgn_train_schedule.py:19-25,
+    GradientCumulativeOptimizerHook cumulative_iters=4): k-1 micro-steps
+    produce zero updates, the k-th applies one step equal to a single
+    step on the averaged gradient."""
+    params = {"params": {"backbone": {"w": jnp.ones((4, 4))}}}
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    plain = build_optimizer(params, base_lr=1e-2, optimizer="sgd")
+    accum = build_optimizer(
+        params, base_lr=1e-2, optimizer="sgd", cumulative_iters=2
+    )
+    ps, as_ = plain.init(params), accum.init(params)
+
+    pu, ps = plain.update(grads, ps, params)
+
+    au1, as_ = accum.update(grads, as_, params)
+    for leaf in jax.tree.leaves(au1):  # first micro-step: no update
+        assert jnp.all(leaf == 0)
+    au2, as_ = accum.update(grads, as_, params)
+    # identical grads -> averaged grad == grad -> same step as plain
+    for a, p in zip(jax.tree.leaves(au2), jax.tree.leaves(pu)):
+        assert jnp.allclose(a, p)
