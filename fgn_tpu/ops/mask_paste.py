@@ -61,9 +61,14 @@ def paste_masks(
 # identical to paste_masks — cross-checked in tests/test_mask_paste.py.
 
 
-def _paste_weights_np(lo: np.ndarray, hi: np.ndarray, size: int, msize: int):
+def _paste_weights_np(lo: np.ndarray, hi: np.ndarray, size: int, msize: int,
+                      start: int = 0, stop: int | None = None):
+    """Like _paste_weights, restricted to image pixels [start, stop) —
+    weights are a function of absolute pixel coordinates, so a window
+    slice equals the corresponding rows of the full matrix."""
+    stop = size if stop is None else stop
     span = np.maximum(hi - lo, 1e-6)
-    img_c = np.arange(size, dtype=np.float32) + 0.5
+    img_c = np.arange(start, stop, dtype=np.float32) + 0.5
     m = (img_c[None, :] - lo[:, None]) / span[:, None] * msize - 0.5
     inside = (img_c[None, :] >= lo[:, None]) & (img_c[None, :] <= hi[:, None])
     mi = np.arange(msize, dtype=np.float32)
@@ -79,16 +84,39 @@ def paste_masks_np(
     img_w: int,
     threshold: float | None = 0.5,
 ):
-    """Host twin of paste_masks → (N, img_h, img_w)."""
-    if len(mask_probs) == 0:
-        out = np.zeros((0, img_h, img_w), np.float32)
-        return out > threshold if threshold is not None else out
+    """Host twin of paste_masks → (N, img_h, img_w).
+
+    Pastes only inside each box's pixel window (every weight outside the
+    box is zero by construction), then writes the window into the zero
+    canvas. At COCO geometry (800×1088 canvas, typical boxes ≤300 px)
+    this is 10-50× less host arithmetic than the full-canvas einsum the
+    evaluator used to pay per detection; results are identical up to
+    BLAS summation order (cross-checked against the jax paste in
+    tests/test_mask_paste.py)."""
+    N = len(mask_probs)
+    out = np.zeros((N, img_h, img_w),
+                   bool if threshold is not None else np.float32)
+    if N == 0:
+        return out
     boxes = np.asarray(boxes, np.float32)
     probs = np.asarray(mask_probs, np.float32)
-    ry = _paste_weights_np(boxes[:, 1], boxes[:, 3], img_h, probs.shape[1])
-    rx = _paste_weights_np(boxes[:, 0], boxes[:, 2], img_w, probs.shape[2])
-    tmp = np.einsum("nyi,nij->nyj", ry, probs)
-    out = np.einsum("nyj,nxj->nyx", tmp, rx)
-    if threshold is not None:
-        return out > threshold
+    for n in range(N):
+        x0, y0, x1, y1 = boxes[n]
+        iy0, iy1 = max(int(np.floor(y0)), 0), min(int(np.ceil(y1)) + 1, img_h)
+        ix0, ix1 = max(int(np.floor(x0)), 0), min(int(np.ceil(x1)) + 1, img_w)
+        if iy1 <= iy0 or ix1 <= ix0:
+            continue
+        ry = _paste_weights_np(
+            boxes[n : n + 1, 1], boxes[n : n + 1, 3], img_h,
+            probs.shape[1], iy0, iy1,
+        )[0]  # (wh, m)
+        rx = _paste_weights_np(
+            boxes[n : n + 1, 0], boxes[n : n + 1, 2], img_w,
+            probs.shape[2], ix0, ix1,
+        )[0]  # (ww, m)
+        win = (ry @ probs[n]) @ rx.T
+        if threshold is not None:
+            out[n, iy0:iy1, ix0:ix1] = win > threshold
+        else:
+            out[n, iy0:iy1, ix0:ix1] = win
     return out

@@ -89,6 +89,12 @@ class Evaluator:
         # also removes support-sampling variance from the epoch curves.
         self.cache_episodes = cache_episodes
         self._episode_cache = None
+        # gt-mask RLE per cached (meta, sample): the gt encode is pure
+        # per-episode host work repeated identically on every cached
+        # eval pass. Keyed by id(meta) — only safe while the metas are
+        # kept alive by _episode_cache, so guarded by _reuse_gt_rle.
+        self._gt_rle: Dict = {}
+        self._reuse_gt_rle = False
         # Reference tag scheme (main.py:323-333).
         self.tag = tag or (
             f"{ds.sampling_origin_ds}_{ds.sampling_origin_ds_subset}"
@@ -122,6 +128,8 @@ class Evaluator:
             if self.cache_episodes:
                 loader = list(loader)
                 self._episode_cache = loader
+                self._gt_rle = {}
+        self._reuse_gt_rle = loader is self._episode_cache
         # Per-evaluator subdir: multiple eval hooks in one run must not
         # clobber each other's chunks between metric passes.
         results_dir = os.path.join(
@@ -171,6 +179,14 @@ class Evaluator:
                 masks_b = paste_masks_np(
                     probs, dt_boxes, int(H), int(W), self.mask_thr
                 )
+                gt_key = (id(meta), b)
+                gt_rle = (
+                    self._gt_rle.get(gt_key) if self._reuse_gt_rle else None
+                )
+                if gt_rle is None:
+                    gt_rle = RLE.encode_mask_results(meta.qry_isegmaps[b])
+                    if self._reuse_gt_rle:
+                        self._gt_rle[gt_key] = gt_rle
                 res = {
                     "idx": int(meta.idx[b]),
                     "qry_child_idx": int(meta.qry_child_idx[b]),
@@ -180,9 +196,7 @@ class Evaluator:
                     "qry_bboxes": meta.qry_bboxes_yxyx[b],
                     "qry_cat_ids": meta.qry_cat_ids[b],
                     "qry_cat_ids_real": meta.qry_cat_ids_real[b],
-                    "qry_isegmaps_rle": RLE.encode_mask_results(
-                        meta.qry_isegmaps[b]
-                    ),
+                    "qry_isegmaps_rle": gt_rle,
                     "dt_scores": out["dt_scores"][b][valid],
                     "dt_bboxes": xyxy_to_yxyx(dt_boxes),
                     "dt_cat_ids": out["dt_cats"][b][valid],

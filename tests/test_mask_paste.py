@@ -47,3 +47,33 @@ def test_np_outside_box_is_zero():
     out = paste_masks_np(probs, boxes, 64, 64, threshold=0.5)
     assert out[0, :19, :].sum() == 0 and out[0, :, :19].sum() == 0
     assert out[0, 22:38, 22:38].all()
+
+
+def test_windowed_paste_equals_full_canvas():
+    """paste_masks_np pastes per-box windows; must equal the full-canvas
+    formulation exactly, including boxes partially/entirely outside."""
+    from fgn_tpu.ops.mask_paste import _paste_weights_np, paste_masks_np
+
+    rng = np.random.RandomState(3)
+    N, m, H, W = 12, 14, 96, 128
+    probs = rng.rand(N, m, m).astype(np.float32)
+    boxes = np.stack(
+        [
+            rng.uniform(-40, W - 10, N),
+            rng.uniform(-40, H - 10, N),
+        ],
+        1,
+    )
+    wh = rng.uniform(5, 90, (N, 2)).astype(np.float32)
+    boxes = np.concatenate([boxes, boxes + wh], 1).astype(np.float32)
+    boxes[0] = (-30, -30, -5, -5)  # entirely outside
+    boxes[1] = (W - 4, H - 4, W + 30, H + 30)  # hangs off the far corner
+
+    out = paste_masks_np(probs, boxes, H, W, threshold=0.5)
+
+    ry = _paste_weights_np(boxes[:, 1], boxes[:, 3], H, m)
+    rx = _paste_weights_np(boxes[:, 0], boxes[:, 2], W, m)
+    full = np.einsum(
+        "nyj,nxj->nyx", np.einsum("nyi,nij->nyj", ry, probs), rx
+    ) > 0.5
+    assert (out == full).all()
