@@ -111,10 +111,20 @@ def main(cfg: Config):
         params = load_torch_backbone(params, maybe_ckpt)
 
     steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    # Under gradient accumulation the optax.MultiSteps inner step counter
+    # advances once per `cumulative_iters` micro-batches, so schedule
+    # boundaries/warmup must be expressed in OPTIMIZER steps to keep the
+    # reference's per-epoch decay timing.
+    cum_iters = max(int(cfg.optimizer.get("cumulative_iters", 1)), 1)
+    lr_kwargs = {k: v for k, v in dict(cfg.lr_schedule).items()}
+    if cum_iters > 1:
+        lr_kwargs["warmup_iters"] = max(
+            int(lr_kwargs.get("warmup_iters", 100)) // cum_iters, 1
+        )
     schedule = make_lr_schedule(
         base_lr=float(cfg.optimizer.lr),
-        steps_per_epoch=steps_per_epoch,
-        **{k: v for k, v in dict(cfg.lr_schedule).items()},
+        steps_per_epoch=max(steps_per_epoch // cum_iters, 1),
+        **lr_kwargs,
     )
     tx = build_optimizer(
         params,
@@ -123,7 +133,7 @@ def main(cfg: Config):
         optimizer=cfg.optimizer.type,
         roi_head_lr_mult=float(cfg.optimizer.get("roi_head_lr_mult", 0.1)),
         schedule=schedule,
-        cumulative_iters=int(cfg.optimizer.get("cumulative_iters", 1)),
+        cumulative_iters=cum_iters,
     )
     opt_state = tx.init(params)
 
@@ -181,7 +191,11 @@ def main(cfg: Config):
         max_gt=max_gt,
         max_keep_ckpts=int(cfg.get("max_keep_ckpts", 3)),
         log_interval=int(cfg.get("log_interval", 50)),
-        lr_schedule=schedule,
+        # TB logs LR in micro-step domain (the Runner's step counter).
+        lr_schedule=(
+            schedule if cum_iters == 1
+            else (lambda s: schedule(s // cum_iters))
+        ),
         hparams={
             "optimizer": dict(cfg.optimizer),
             "lr_schedule": dict(cfg.lr_schedule),
