@@ -440,7 +440,11 @@ class FewShotISEG:
 
     def load_state_dict(self, state: Dict):
         self.order = np.asarray(state["order"]).copy()
-        self._group_hw = dict(state.get("group_hw", {}))
+        # keys may arrive as str (JSON sidecar / legacy orbax dicts)
+        self._group_hw = {
+            int(k): (int(v[0]), int(v[1]))
+            for k, v in dict(state.get("group_hw", {})).items()
+        }
 
     def __len__(self):
         return len(self.order)

@@ -34,6 +34,15 @@ from fgn_tpu.train.checkpoints import CheckpointManager
 from fgn_tpu.utils.timers import datetime_log_fancy
 
 
+def _rss_gb() -> float:
+    """Resident set size in GB (no psutil in the image)."""
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e9
+    except Exception:
+        return float("nan")
+
+
 class Runner:
     def __init__(
         self,
@@ -90,6 +99,30 @@ class Runner:
 
     # -- logging ---------------------------------------------------------
 
+    def _tracemalloc_tick(self):
+        """Opt-in Python-allocation leak probe (FGN_TRACEMALLOC=1): every
+        log interval, print the top allocation-site growth since the last
+        tick. Python/numpy leaks name their line; RSS growth WITHOUT
+        tracemalloc growth means a native (jax client) leak."""
+        if os.environ.get("FGN_TRACEMALLOC") != "1":
+            return
+        import tracemalloc
+
+        if not tracemalloc.is_tracing():
+            tracemalloc.start(10)
+            self._tm_last = None
+            return
+        snap = tracemalloc.take_snapshot().filter_traces(
+            [tracemalloc.Filter(False, tracemalloc.__file__)]
+        )
+        traced_mb = tracemalloc.get_traced_memory()[0] / 1e6
+        if getattr(self, "_tm_last", None) is not None:
+            top = snap.compare_to(self._tm_last, "lineno")[:5]
+            print(f"[tracemalloc] traced total {traced_mb:.0f} MB; top growth:")
+            for stat in top:
+                print(f"  {stat}")
+        self._tm_last = snap
+
     def _scalar(self, tag: str, value: float):
         if self.tb is not None:
             self.tb.add_scalar(tag, float(value), self.step)
@@ -141,10 +174,9 @@ class Runner:
             template={
                 "params": self.params,
                 "opt_state": self.opt_state,
-                "extra": {
-                    "epoch": 0, "cursor": 0,
-                    "ds_state": self.train_ds.state_dict(),
-                },
+                # ds_state is a JSON sidecar (variable structure), not a
+                # pytree entry — see checkpoints.py module docstring.
+                "extra": {"epoch": 0, "cursor": 0},
             }
         )
         if restored is None:
@@ -155,10 +187,14 @@ class Runner:
         self.opt_state = state["opt_state"]
         self.epoch = int(state["extra"]["epoch"])
         self._start_cursor = int(state["extra"].get("cursor", 0))
-        try:
-            self.train_ds.load_state_dict(state["extra"]["ds_state"])
-        except Exception:
-            pass
+        ds_state = state["extra"].get("ds_state")
+        if ds_state is not None:
+            try:
+                self.train_ds.load_state_dict(ds_state)
+            except Exception:
+                # Safe: run() re-derives order/group_hw via the
+                # epoch-seeded deterministic reshuffle(epoch) anyway.
+                pass
         print(
             f"Resumed from step {self.step} "
             f"(epoch {self.epoch}, cursor {self._start_cursor})"
@@ -241,11 +277,13 @@ class Runner:
                     self._log_hyperparams()
                     for k, v in metrics.items():
                         self._scalar(f"Train/{k}", v)
+                    self._scalar("Time/HostRSS_GB", _rss_gb())
                     print(
                         f"[{datetime_log_fancy()}] e{epoch} it{self.step} "
                         f"loss={metrics.get('loss_total', float('nan')):.4f} "
-                        f"({dt_ms:.0f} ms)"
+                        f"({dt_ms:.0f} ms, rss {_rss_gb():.1f}G)"
                     )
+                    self._tracemalloc_tick()
                 self.step += 1
                 cursor += 1
                 if self.step % self.part == 0:
