@@ -37,6 +37,7 @@ def supervise(
     exit code (0 on success, -1 if restarts are exhausted)."""
     env = dict(os.environ, PYTHONUNBUFFERED="1")
     current = []
+    planned = 0  # RSS-relief restarts (exit 42), bounded separately
 
     def _forward(signum, frame):
         # a supervisor (e.g. `timeout` in a run queue) terminating us
@@ -48,7 +49,8 @@ def supervise(
         raise SystemExit(128 + signum)
 
     signal.signal(signal.SIGTERM, _forward)
-    for attempt in range(max_restarts):
+    attempt = 0
+    while attempt < max_restarts:
         with open(log_fp, "ab", buffering=0) as log:
             log.write(
                 f"\n=== watchdog attempt {attempt} {time.ctime()} ===\n"
@@ -77,11 +79,20 @@ def supervise(
             time.sleep(poll_s)
         if not stalled and proc.returncode == 0:
             return 0
+        if not stalled and proc.returncode == 42:
+            # planned RSS-relief restart (Runner._rss_relief: the axon
+            # client leaks per-transfer host buffers) — always resume,
+            # without consuming the failure budget
+            planned += 1
+            if planned > 200:
+                return proc.returncode
+            continue
         if not stalled and proc.returncode not in (None, 0):
             # real failure (traceback in the log): one retry is still
             # useful (transient tunnel errors), but don't loop on a bug
             if attempt >= 1:
                 return proc.returncode
+        attempt += 1
     return -1
 
 
