@@ -18,7 +18,7 @@ import sys
 import time
 
 from fgn_tpu.config import Config
-from fgn_tpu.main import batch_heuristic, main
+from fgn_tpu.main import main
 
 GAMMAS = (0.01, 0.05, 0.1)
 NK_GRID = ((1, 1), (3, 1), (3, 3))
@@ -35,7 +35,13 @@ def run_grid(base_cfg_fp: str, cooldown_s: int = 0, gammas=None, nks=None):
                     cfg[key]["n_ways"] = n
                     cfg[key]["k_shots"] = k
             cfg.lr_schedule.gamma = gamma
-            cfg.batch_size = batch_heuristic(n, k)
+            # The reference grid keeps the FT configs' batch (its FT
+            # work_dirs are literally named "N{n}-K{k}-B4 DCL-FT …",
+            # main_ft.py:126) — the stage-1 batch heuristic never
+            # applies to finetuning. (The round-3 MNIST/OMNI grid cells
+            # predate this fix and ran with the heuristic override —
+            # FT batch 8/12 instead of the configs' 4; footnoted in
+            # RESULTS.md.)
             cell = f"N{n}K{k}_G{gamma}"
             cfg.work_dir = os.path.join(str(cfg.work_dir), cell)
             if cfg.get("init_from"):
