@@ -117,6 +117,8 @@ def main(cfg: Config):
     # reference's per-epoch decay timing.
     cum_iters = max(int(cfg.optimizer.get("cumulative_iters", 1)), 1)
     lr_kwargs = {k: v for k, v in dict(cfg.lr_schedule).items()}
+    if lr_kwargs.get("type") == "cosine":
+        lr_kwargs.setdefault("total_epochs", int(cfg.max_epochs))
     if cum_iters > 1:
         lr_kwargs["warmup_iters"] = max(
             int(lr_kwargs.get("warmup_iters", 100)) // cum_iters, 1

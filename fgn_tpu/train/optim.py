@@ -40,21 +40,44 @@ def make_lr_schedule(
     warmup_iters: int = 100,
     warmup_ratio: float = 0.01,
     min_lr: float = 1e-6,
+    type: str = "step",  # noqa: A002 — config key name (mmcv lr_config)
+    min_lr_ratio: float = 0.01,
+    total_epochs: int = 0,
 ):
+    """Step decay (reference default) or cosine annealing (the
+    reference's best MNISTISEG N3K3 cell: mmcv
+    CosineAnnealingLrUpdaterHook with min_lr_ratio 0.01 — work_dir
+    'Adam … NoLRRescale CosineLRDecayMinLRRatio 0.01 BEST')."""
+
+    def warm(step):
+        import jax.numpy as jnp
+
+        return warmup_ratio + (1.0 - warmup_ratio) * jnp.minimum(
+            step / max(warmup_iters, 1), 1.0
+        )
+
+    if type == "cosine":
+        total = max(int(total_epochs) * int(steps_per_epoch), 1)
+
+        def schedule(step):
+            import jax.numpy as jnp
+
+            t = jnp.clip(step / total, 0.0, 1.0)
+            cos = 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+            lr = base_lr * (min_lr_ratio + (1.0 - min_lr_ratio) * cos)
+            return jnp.maximum(lr * warm(step), min_lr)
+
+        return schedule
+
     boundaries = {int(e * steps_per_epoch): gamma for e in decay_epochs}
 
     def schedule(step):
         import jax.numpy as jnp
 
-        lr = base_lr
         factor = jnp.ones_like(step, dtype=jnp.float32)
         for b in sorted(boundaries):
             factor = jnp.where(step >= b, factor * boundaries[b], factor)
-        lr = base_lr * factor
-        warm = warmup_ratio + (1.0 - warmup_ratio) * jnp.minimum(
-            step / max(warmup_iters, 1), 1.0
-        )
-        return jnp.maximum(lr * warm, min_lr)
+        return jnp.maximum(base_lr * factor * warm(step), min_lr)
 
     return schedule
 

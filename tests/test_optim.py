@@ -63,3 +63,33 @@ def test_cumulative_iters_accumulates():
     # identical grads -> averaged grad == grad -> same step as plain
     for a, p in zip(jax.tree.leaves(au2), jax.tree.leaves(pu)):
         assert jnp.allclose(a, p)
+
+
+def test_cosine_schedule_matches_mmcv_shape():
+    """Cosine annealing (reference best-N3K3 cell: mmcv
+    CosineAnnealingLrUpdaterHook, min_lr_ratio 0.01): base LR after
+    warmup, base*(0.5 + 0.5*ratio + ...) at mid-run, base*ratio at the
+    end; monotone decreasing after warmup."""
+    import numpy as np
+
+    base, ratio, spe, epochs = 0.01, 0.01, 100, 10
+    sched = make_lr_schedule(
+        base, steps_per_epoch=spe, type="cosine",
+        min_lr_ratio=ratio, total_epochs=epochs, warmup_iters=100,
+    )
+    total = spe * epochs
+    # right after warmup: ~base (cos term still ~1 at t=0.1 -> 0.976)
+    assert float(sched(jnp.asarray(100))) == pytest.approx(
+        base * (ratio + (1 - ratio) * 0.5 * (1 + np.cos(np.pi * 0.1))),
+        rel=1e-5,
+    )
+    # midpoint: exactly base*(ratio + (1-ratio)/2)
+    assert float(sched(jnp.asarray(total // 2))) == pytest.approx(
+        base * (ratio + (1 - ratio) * 0.5), rel=1e-5
+    )
+    # end: min ratio
+    assert float(sched(jnp.asarray(total))) == pytest.approx(
+        base * ratio, rel=1e-4
+    )
+    vals = [float(sched(jnp.asarray(s))) for s in range(100, total + 1, 50)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
