@@ -250,22 +250,48 @@ class EpisodeLoader:
         stop = object()
         err: List[BaseException] = []
 
+        cancel = threading.Event()
+
         def worker():
             try:
                 for indices in self._index_batches():
-                    q.put(self._build(indices))
+                    if cancel.is_set():
+                        return
+                    item = self._build(indices)
+                    # bounded put that a cancelled consumer can unblock
+                    while not cancel.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
             except BaseException as e:  # surface in the consumer thread
                 err.append(e)
             finally:
-                q.put(stop)
+                try:
+                    q.put_nowait(stop)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            # Early generator close (consumer breaks / is GC'd): without
+            # this the worker stays blocked in q.put inside cv2 code and
+            # interpreter teardown aborts with "terminate called without
+            # an active exception".
+            cancel.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10)
         if err:
             raise err[0]
