@@ -22,6 +22,17 @@ from typing import Dict, List, Optional
 
 import jax
 
+if os.environ.get("FGN_STACK_DUMP_S"):
+    # Hang forensics: periodically dump every thread's Python stack to
+    # stderr (→ the watchdog log). The axon tunnel client can wedge a
+    # process with all threads parked in futex/socket waits; this shows
+    # which Python frame each wait belongs to.
+    import faulthandler
+
+    faulthandler.dump_traceback_later(
+        int(os.environ["FGN_STACK_DUMP_S"]), repeat=True
+    )
+
 from fgn_tpu.config import Config
 from fgn_tpu.data.fst_bindings import init_ds_class_by_config
 from fgn_tpu.models.fgn import FGN, FGNConfig

@@ -96,6 +96,7 @@ class Runner:
         steps_per_epoch = max(len(train_ds) // batch_size, 1)
         # Mid-epoch cadence (reference: main.py:153-177,230-238).
         self.part = eval_interval_iters or max(2000, steps_per_epoch // 8)
+        self._ckpt_every = int(os.environ.get("FGN_CKPT_EVERY", "0"))
 
     # -- logging ---------------------------------------------------------
 
@@ -161,13 +162,13 @@ class Runner:
 
     # -- checkpoint + eval -----------------------------------------------
 
-    def check(self, epoch: Optional[int] = None, cursor: int = 0):
-        """Checkpoint then run all eval hooks; soft-fail like the
-        reference (main.py:157-177).
+    def save_ckpt(self, epoch: Optional[int] = None, cursor: int = 0):
+        """Checkpoint only (no evals); soft-fail like the reference.
 
         ``epoch``/``cursor`` describe where a resume should CONTINUE:
         end-of-epoch saves (epoch + 1, 0), mid-epoch saves the batch
-        count consumed so far."""
+        count consumed so far. Prints a liveness line — the watchdog
+        and stall nudger supervise by log mtime."""
         try:
             self.ckpt.save(
                 self.step, self.params, self.opt_state,
@@ -177,11 +178,21 @@ class Runner:
                     "ds_state": self.train_ds.state_dict(),
                 },
             )
+            print(f"[{datetime_log_fancy()}] ckpt scheduled at step {self.step}")
         except Exception:
             print("WARNING: checkpoint save failed")
             traceback.print_exc()
+
+    def check(self, epoch: Optional[int] = None, cursor: int = 0):
+        """Checkpoint then run all eval hooks (reference main.py:157-177)."""
+        self.save_ckpt(epoch=epoch, cursor=cursor)
         for ev in self.evaluators:
             try:
+                # Phase marker: eval passes can be legitimately
+                # log-silent for ~15 min (cold compile) — the stall
+                # nudger reads this line and switches to its slow
+                # threshold (tools/stall_nudge.py).
+                print(f"[{datetime_log_fancy()}] eval pass starting")
                 t0 = time.monotonic()
                 metrics = ev.run(self.params)
                 self._scalar("Time/Evaluation", (time.monotonic() - t0) * 1000)
@@ -266,6 +277,17 @@ class Runner:
         if self.mesh is None:
             yield from loader
             return
+        if os.environ.get("FGN_NO_FEED_THREAD") == "1":
+            # Single-threaded tunnel use: the upload-ahead thread makes
+            # device_put run concurrently with main-thread dispatch, and
+            # the axon tunnel client has been observed to wedge whole
+            # processes under concurrent RPCs (threads parked in
+            # futex/socket waits, fresh processes fine). Costs the
+            # ~44 ms RTT per step; buys determinism when the tunnel is
+            # in that mood.
+            for batch, meta in loader:
+                yield shard_batch(batch, self.mesh), meta
+            return
         import queue as queue_mod
         import threading
 
@@ -343,6 +365,12 @@ class Runner:
                 cursor += 1
                 if self.step % self.part == 0:
                     self.check(epoch=epoch, cursor=cursor)
+                elif self._ckpt_every and self.step % self._ckpt_every == 0:
+                    # Cheap durability against the axon tunnel's hang
+                    # flake: with hangs costing a kill+resume, frequent
+                    # checkpoint-only saves bound the lost work to
+                    # FGN_CKPT_EVERY steps (evals keep their own cadence).
+                    self.save_ckpt(epoch=epoch, cursor=cursor)
             self._scalar("Time/TrainEpoch", (time.monotonic() - t_epoch) * 1000)
             # End of epoch: a resume must CONTINUE at the next epoch.
             self.check(epoch=epoch + 1, cursor=0)
