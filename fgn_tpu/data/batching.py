@@ -267,17 +267,36 @@ class EpisodeLoader:
                             continue
             except BaseException as e:  # surface in the consumer thread
                 err.append(e)
+                import traceback
+                traceback.print_exc()  # immediate forensics (log/watchdog)
             finally:
-                try:
-                    q.put_nowait(stop)
-                except queue.Full:
-                    pass
+                # The sentinel MUST reach the consumer: a put_nowait here
+                # can hit a full queue (device step slower than episode
+                # construction), silently dropping it — the consumer then
+                # blocks in q.get() forever after draining (observed as a
+                # production deadlock in a fresh-support eval pass). Use
+                # the same bounded-put loop as the item path; the consumer
+                # drains the queue on cancel, so this always terminates.
+                while not cancel.is_set():
+                    try:
+                        q.put(stop, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         try:
             while True:
-                item = q.get()
+                # Belt-and-braces against any future lost-sentinel bug:
+                # if the worker is dead and the queue is drained, there
+                # is nothing left to wait for.
+                try:
+                    item = q.get(timeout=5.0)
+                except queue.Empty:
+                    if not t.is_alive():
+                        break
+                    continue
                 if item is stop:
                     break
                 yield item

@@ -23,14 +23,22 @@ from typing import Dict, List, Optional
 import jax
 
 if os.environ.get("FGN_STACK_DUMP_S"):
-    # Hang forensics: periodically dump every thread's Python stack to
-    # stderr (→ the watchdog log). The axon tunnel client can wedge a
-    # process with all threads parked in futex/socket waits; this shows
-    # which Python frame each wait belongs to.
+    # Hang forensics: periodically dump every thread's Python stack.
+    # The axon tunnel client can wedge a process with all threads parked
+    # in futex/socket waits; this shows which Python frame each wait
+    # belongs to. Dumps go to FGN_STACK_DUMP_FILE (default
+    # /tmp/fgn_stacks_<pid>.log), NOT stderr: the watchdog and
+    # stall-nudger detect hangs via log-file mtime, and periodic dumps
+    # into the same log keep refreshing it — a deadlocked run then looks
+    # alive forever (observed in production; 36+ min undetected wedge).
     import faulthandler
 
+    _dump_fp = os.environ.get(
+        "FGN_STACK_DUMP_FILE", f"/tmp/fgn_stacks_{os.getpid()}.log"
+    )
+    _dump_f = open(_dump_fp, "a", buffering=1)
     faulthandler.dump_traceback_later(
-        int(os.environ["FGN_STACK_DUMP_S"]), repeat=True
+        int(os.environ["FGN_STACK_DUMP_S"]), repeat=True, file=_dump_f
     )
 
 from fgn_tpu.config import Config

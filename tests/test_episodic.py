@@ -268,3 +268,43 @@ def test_children_scenario(tiny_mnistiseg, fst, tmp_path_factory):
     for p_idx, p in enumerate(ds.qrys_parents_):
         for cat in p["cats_dict"]:
             assert (p_idx, int(cat)) in pairs
+
+
+def test_episode_loader_worker_death_no_deadlock(monkeypatch):
+    """Regression: a producer exception while the prefetch queue is FULL
+    must still deliver the stop sentinel (a put_nowait there drops it
+    silently → the consumer blocks in q.get() forever; observed as a
+    production deadlock in a fresh-support eval pass)."""
+    import threading
+    import time as _time
+
+    class _FakeDS:
+        def __len__(self):
+            return 20
+
+    loader = EpisodeLoader(_FakeDS(), batch_size=2, prefetch=2)
+    boom = RuntimeError("constructed episode is broken")
+
+    def fake_build(self, indices):
+        if indices[0] >= 8:
+            raise boom
+        return ("batch", indices)
+
+    monkeypatch.setattr(EpisodeLoader, "_build", fake_build)
+
+    got, raised = [], []
+
+    def consume():
+        try:
+            for item in loader:
+                got.append(item)
+                _time.sleep(0.2)  # slow consumer → queue stays full
+        except RuntimeError as e:
+            raised.append(e)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), "EpisodeLoader deadlocked after worker death"
+    assert raised and raised[0] is boom
+    assert len(got) == 4  # batches 0,2,4,6 built before the failure
