@@ -124,6 +124,10 @@ class FGNConfig:
     compute_dtype: str = "float32"
     # None = auto: Pallas RoIAlign on TPU, gather formulation elsewhere.
     use_pallas_roi_align: Optional[bool] = None
+    # None = auto: fused Pallas NMS keep-mask kernel on TPU (exact
+    # parity with the blocked XLA sweep, tests/test_nms_pallas.py),
+    # XLA sweep elsewhere.
+    use_pallas_nms: Optional[bool] = None
 
     @property
     def num_anchors(self) -> int:
@@ -134,13 +138,28 @@ def _compute_dtype(cfg: FGNConfig):
     return jnp.dtype(cfg.compute_dtype)
 
 
-def _auto_pallas(cfg: FGNConfig) -> bool:
-    if cfg.use_pallas_roi_align is not None:
-        return cfg.use_pallas_roi_align
+def _on_tpu() -> bool:
     dd = jax.config.jax_default_device
     if dd is not None:
         return getattr(dd, "platform", "") in ("tpu", "axon")
     return jax.default_backend() in ("tpu", "axon")
+
+
+def _auto_pallas(cfg: FGNConfig) -> bool:
+    if cfg.use_pallas_roi_align is not None:
+        return cfg.use_pallas_roi_align
+    return _on_tpu()
+
+
+def _nms_alive_fn(cfg: FGNConfig):
+    """alive_fn for nms_padded/batched_nms: the fused Pallas keep-mask
+    kernel (opt-in via use_pallas_nms until idle-chip timing lands;
+    None → blocked XLA sweep)."""
+    if not cfg.use_pallas_nms:
+        return None
+    from fgn_tpu.ops.nms_pallas import greedy_alive_pallas
+
+    return greedy_alive_pallas
 
 
 class FGN(nn.Module):
@@ -264,7 +283,8 @@ class FGN(nn.Module):
             hs = boxes[:, 3] - boxes[:, 1]
             valid = (ws > c.rpn_min_bbox_size) & (hs > c.rpn_min_bbox_size)
             out_boxes, out_scores, _, out_valid = nms_padded(
-                boxes, top_s, valid, c.rpn_nms_iou, max_per_img
+                boxes, top_s, valid, c.rpn_nms_iou, max_per_img,
+                alive_fn=_nms_alive_fn(c),
             )
             return out_boxes, out_scores, out_valid
 
@@ -615,7 +635,8 @@ class FGN(nn.Module):
 
         def nms_one(bx, sc, cl, vl):
             return batched_nms(
-                bx, sc, cl, vl, c.rcnn_nms_iou, c.rcnn_max_per_img
+                bx, sc, cl, vl, c.rcnn_nms_iou, c.rcnn_max_per_img,
+                alive_fn=_nms_alive_fn(c),
             )
 
         dt_boxes, dt_scores, dt_cats, _, dt_valid = jax.vmap(nms_one)(

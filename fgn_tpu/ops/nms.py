@@ -54,34 +54,14 @@ def _self_suppress_block(iou_bb: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray
     return keep
 
 
-def nms_padded(
-    boxes: jnp.ndarray,  # (M, 4) XYXY
-    scores: jnp.ndarray,  # (M,)
-    valid: jnp.ndarray,  # (M,) bool
-    iou_threshold: float,
-    max_out: int,
-    block: int = 128,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Greedy NMS over valid boxes.
+def _greedy_alive(boxes_s, alive, iou_threshold: float, block: int):
+    """Blocked greedy sweep over score-sorted padded boxes.
 
-    Returns (boxes (max_out, 4), scores (max_out,), idx (max_out,) indices
-    into the input, out_valid (max_out,) bool). Output is score-sorted.
+    boxes_s (Mp, 4) XYXY with Mp a multiple of ``block``; alive (Mp,)
+    bool. Returns the final greedy keep mask (Mp,) bool.
     """
-    M = boxes.shape[0]
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    s = jnp.where(valid, scores, neg_inf)
-    s_sorted, order = jax.lax.top_k(s, M)  # stable: ties keep lower index
-    boxes_s = boxes[order]
-    alive = jnp.isfinite(s_sorted)
-
-    nb = -(-M // block)
-    pad = nb * block - M
-    if pad:
-        boxes_s = jnp.concatenate(
-            [boxes_s, jnp.zeros((pad, 4), boxes_s.dtype)], axis=0
-        )
-        alive = jnp.concatenate([alive, jnp.zeros((pad,), bool)], axis=0)
-    Mp = nb * block
+    Mp = boxes_s.shape[0]
+    nb = Mp // block
     pos = jnp.arange(Mp)
 
     def step(alive, i):
@@ -98,6 +78,45 @@ def nms_padded(
         return alive, None
 
     alive, _ = jax.lax.scan(step, alive, jnp.arange(nb))
+    return alive
+
+
+def nms_padded(
+    boxes: jnp.ndarray,  # (M, 4) XYXY
+    scores: jnp.ndarray,  # (M,)
+    valid: jnp.ndarray,  # (M,) bool
+    iou_threshold: float,
+    max_out: int,
+    block: int = 128,
+    alive_fn=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over valid boxes.
+
+    Returns (boxes (max_out, 4), scores (max_out,), idx (max_out,) indices
+    into the input, out_valid (max_out,) bool). Output is score-sorted.
+
+    ``alive_fn(boxes_s, alive, iou_threshold, block)`` computes the keep
+    mask over the score-sorted padded candidates; defaults to the blocked
+    XLA sweep (``ops/nms_pallas.py`` plugs in the fused TPU kernel).
+    """
+    M = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    s = jnp.where(valid, scores, neg_inf)
+    s_sorted, order = jax.lax.top_k(s, M)  # stable: ties keep lower index
+    boxes_s = boxes[order]
+    alive = jnp.isfinite(s_sorted)
+
+    nb = -(-M // block)
+    pad = nb * block - M
+    if pad:
+        boxes_s = jnp.concatenate(
+            [boxes_s, jnp.zeros((pad, 4), boxes_s.dtype)], axis=0
+        )
+        alive = jnp.concatenate([alive, jnp.zeros((pad,), bool)], axis=0)
+
+    alive = (alive_fn or _greedy_alive)(
+        boxes_s, alive, iou_threshold, block
+    )
     alive = alive[:M]
 
     keep_scores = jnp.where(alive, s_sorted, neg_inf)
@@ -127,12 +146,14 @@ def batched_nms(
     max_out: int,
     coord_bound: float = 1e4,
     block: int = 128,
+    alive_fn=None,
 ):
     """Per-class NMS via the coordinate-offset trick (classes never overlap)."""
     offset = class_ids.astype(boxes.dtype)[:, None] * coord_bound
     shifted = boxes + offset
     _, out_scores, out_idx, out_valid = nms_padded(
-        shifted, scores, valid, iou_threshold, max_out, block=block
+        shifted, scores, valid, iou_threshold, max_out, block=block,
+        alive_fn=alive_fn,
     )
     out_boxes = jnp.where(out_valid[:, None], boxes[out_idx], 0.0)
     out_cls = jnp.where(out_valid, class_ids[out_idx], 0)
