@@ -17,11 +17,12 @@ and the alive mask resident in VMEM:
     control flow cannot exploit.
 
 Layout: candidates are score-sorted and padded to ``nb`` blocks of 128
-(the VPU lane width). Each box coordinate is fed twice — row-major
-(nb, 128) for "candidate j" broadcasts and transposed (128, nb) for
-"suppressor k" broadcasts — so the kernel never needs an in-kernel
-(1,128)→(128,1) relayout. The alive mask lives in the f32 output ref
-and is updated in place as blocks finalize.
+(the VPU lane width), fed row-major (nb, 128) per coordinate. The
+"suppressor k" (128, 1) columns are derived in-kernel from the (1, 128)
+rows via a masked-identity reduce (``_row_to_col``) — Mosaic cannot
+load a dynamic (128, 1) column slice from VMEM (lane-dim alignment),
+and a relayouting transpose would be slower. The alive mask lives in
+the f32 output ref and is updated in place as blocks finalize.
 """
 
 from __future__ import annotations
@@ -60,7 +61,7 @@ def _iou_over(thr, ax1, ay1, ax2, ay2, aarea, bx1, by1, bx2, by2, barea):
     return inter / union > thr
 
 
-def _nms_kernel(x1, y1, x2, y2, area, x1t, y1t, x2t, y2t, areat, alive0,
+def _nms_kernel(x1, y1, x2, y2, area, alive0,
                 out, *, nb: int, thr: float):
     """out (nb, B) f32 ∈ {0,1}: greedy keep mask over sorted candidates."""
     B = _BLOCK
@@ -75,18 +76,18 @@ def _nms_kernel(x1, y1, x2, y2, area, x1t, y1t, x2t, y2t, areat, alive0,
 
         @pl.when(jnp.any(valid_row))
         def _process():
-            # Block i coordinates: rows (suppressor k) from the
-            # transposed copies, cols (candidate j) row-major.
-            cx1 = x1t[:, pl.ds(i, 1)]
-            cy1 = y1t[:, pl.ds(i, 1)]
-            cx2 = x2t[:, pl.ds(i, 1)]
-            cy2 = y2t[:, pl.ds(i, 1)]
-            car = areat[:, pl.ds(i, 1)]  # (B, 1)
+            # Block i coordinates: (1, B) candidate rows; (B, 1)
+            # suppressor columns via the masked-identity reduce.
             bx1 = x1[pl.ds(i, 1), :]
             by1 = y1[pl.ds(i, 1), :]
             bx2 = x2[pl.ds(i, 1), :]
             by2 = y2[pl.ds(i, 1), :]
             bar = area[pl.ds(i, 1), :]  # (1, B)
+            cx1 = _row_to_col(bx1)
+            cy1 = _row_to_col(by1)
+            cx2 = _row_to_col(bx2)
+            cy2 = _row_to_col(by2)
+            car = _row_to_col(bar)  # (B, 1)
 
             # In-block greedy fixpoint (ops/nms.py::_self_suppress_block):
             # adj[k, j] = "k can suppress j" needs k strictly earlier.
@@ -94,24 +95,27 @@ def _nms_kernel(x1, y1, x2, y2, area, x1t, y1t, x2t, y2t, areat, alive0,
                 thr, cx1, cy1, cx2, cy2, car, bx1, by1, bx2, by2, bar
             ) & row_lt_col
 
+            # f32 carries: Mosaic cannot legalize i1 vector while-carries.
+            valid_f = valid_row.astype(jnp.float32)
+
             def cond(state):
-                keep, prev, it = state
-                return jnp.logical_and(jnp.any(keep != prev), it < B)
+                keep_f, prev_f, it = state
+                return jnp.logical_and(jnp.any(keep_f != prev_f), it < B)
 
             def body(state):
-                keep, _, it = state  # keep (1, B)
-                keep_col = _row_to_col(keep.astype(jnp.float32)) > 0.5
+                keep_f, _, it = state  # keep_f (1, B) f32
+                keep_col = _row_to_col(keep_f) > 0.5
                 suppressed = jnp.any(adj & keep_col, axis=0, keepdims=True)
-                return valid_row & ~suppressed, keep, it + 1
+                return jnp.where(suppressed, 0.0, valid_f), keep_f, it + 1
 
-            keep, _, _ = jax.lax.while_loop(
-                cond, body, (valid_row, jnp.zeros_like(valid_row),
+            keep_f, _, _ = jax.lax.while_loop(
+                cond, body, (valid_f, jnp.zeros_like(valid_f),
                              jnp.int32(0))
             )
-            out[pl.ds(i, 1), :] = keep.astype(jnp.float32)
-            keep_col = _row_to_col(keep.astype(jnp.float32)) > 0.5  # (B, 1)
+            out[pl.ds(i, 1), :] = keep_f
+            keep_col = _row_to_col(keep_f) > 0.5  # (B, 1)
 
-            @pl.when(jnp.any(keep))
+            @pl.when(jnp.any(keep_f > 0.5))
             def _suppress_later():
                 def inner(j, _):
                     talive = out[pl.ds(j, 1), :]  # (1, B) f32
@@ -148,16 +152,15 @@ def greedy_alive_pallas(boxes_s, alive, iou_threshold: float,
         jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
     ).reshape(nb, _BLOCK)
     rows = coords + [area]
-    cols = [m.T for m in rows]
     alive0 = alive.reshape(nb, _BLOCK).astype(jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(_nms_kernel, nb=nb, thr=float(iou_threshold)),
         out_shape=jax.ShapeDtypeStruct((nb, _BLOCK), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(*rows, *cols, alive0)
+    )(*rows, alive0)
     return out.reshape(Mp) > 0.5
 
 
