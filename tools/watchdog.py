@@ -30,11 +30,21 @@ def supervise(
     max_restarts: int = 8,
     poll_s: int = 30,
     timeout_s: int = 14400,
+    cooldown_s: int | None = None,
 ) -> int:
     """Run ``cmd`` appending to ``log_fp``; kill + rerun when the log
     goes silent for ``stall_s`` (first compiles can be silent ~8 min,
     eval compiles ~20 — keep stall_s above those). Returns the final
-    exit code (0 on success, -1 if restarts are exhausted)."""
+    exit code (0 on success, -1 if restarts are exhausted).
+
+    ``cooldown_s`` (default env FGN_WD_COOLDOWN_S or 300) is slept
+    between a stall kill and the restart: the axon tunnel's sickness
+    mode re-wedges immediately-restarted sessions sooner and sooner,
+    while ~5 idle minutes lets the tunnel recover (observed 2026-08-19,
+    recovery recipe in CLAUDE.md). Planned RSS-relief restarts (exit
+    42) skip the cool-down — the tunnel is healthy in that path."""
+    if cooldown_s is None:
+        cooldown_s = int(os.environ.get("FGN_WD_COOLDOWN_S", "300"))
     env = dict(os.environ, PYTHONUNBUFFERED="1")
     current = []
     planned = 0  # RSS-relief restarts (exit 42), bounded separately
@@ -92,6 +102,16 @@ def supervise(
             # useful (transient tunnel errors), but don't loop on a bug
             if attempt >= 1:
                 return proc.returncode
+        if stalled and cooldown_s > 0:
+            with open(log_fp, "ab", buffering=0) as log:
+                log.write(
+                    f"=== watchdog: tunnel cool-down {cooldown_s}s "
+                    f"before restart ===\n".encode()
+                )
+            time.sleep(cooldown_s)
+            # the cool-down itself keeps the log quiet — refresh the
+            # mtime so the next attempt gets the full stall budget
+            os.utime(log_fp)
         attempt += 1
     return -1
 
