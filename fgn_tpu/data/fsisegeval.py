@@ -7,9 +7,10 @@ PR accumulation. Episodic parameters are baked in like the reference
 (:108-117): iouThrs = [0.5], maxDets = [100], a single all-area range,
 catIds = 0..N-1 (episode-remapped ids).
 
-Deviation (documented): AP uses the classic 11-point interpolation
-rather than COCOeval's 101-point grid — with a single IoU threshold the
-rankings are unchanged and values differ by < 1 recall bin.
+AP interpolation uses COCOeval's exact 101-point recall grid
+(``_RECALL_POINTS`` below), matching pycocotools' ``Params.recThrs`` —
+cross-checked against hand-computed PR curves in tests/test_fsisegeval.py.
+(The round-2 11-point deviation was retired in round 3.)
 
 Input results are the per-episode dicts the evaluator writes
 (train/evaluator.py): YXYX boxes, episode cat ids, RLE masks.

@@ -79,7 +79,7 @@ def test_duplicate_detection_penalized():
         )
     ]
     out = FSISEGEval(results=res, n_ways=3, iou_type="bbox").run()
-    # AP with 11-point interp: precision 1 up to recall 1, but FP after.
+    # AP on the 101-point grid: precision 1 up to recall 1, but FP after.
     # TP at rank 1 (p=1), FP at rank 2 → precision stays 1.0 at all
     # achieved recalls → AP 1.0, AR 1.0 (the FP doesn't reduce max recall)
     assert out["mAR"] == 1.0
