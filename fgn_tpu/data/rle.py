@@ -16,7 +16,7 @@ COCO spec applies the delta from index 2 on].
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Union
+from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -168,3 +168,21 @@ def encode_mask_results(masks: Union[np.ndarray, Sequence[np.ndarray]]) -> List[
     """Encode a stack/list of binary masks (mmdet ``encode_mask_results``
     shape: the reference calls it per image on (n, h, w) arrays)."""
     return [encode(np.asarray(m).astype(np.uint8)) for m in masks]
+
+
+def paste_encode_results(
+    probs: np.ndarray, boxes: np.ndarray, img_h: int, img_w: int,
+    thr: float = 0.5,
+) -> Optional[List[RLE]]:
+    """Fused native paste+threshold+encode of per-detection mask probs
+    ((n, m, m) float, XYXY boxes) straight to RLE — the full-image
+    canvases are never materialized (VERDICT r4 item 6; replaces
+    ops/mask_paste.paste_masks_np + encode on the eval hot path).
+    Returns None when the native library is unavailable (callers fall
+    back to the two-step path)."""
+    if _native is None or not hasattr(_native, "paste_encode"):
+        return None
+    return [
+        _native.paste_encode(p, b, int(img_h), int(img_w), thr)
+        for p, b in zip(probs, boxes)
+    ]

@@ -34,7 +34,9 @@ def _build() -> bool:
 
 
 def _load():
-    if not os.path.exists(_LIB_FP) and not _build():
+    # always invoke make: it is a no-op when librle.so is fresh and
+    # rebuilds it when rle.cc changed (a stale .so would miss symbols)
+    if not _build() and not os.path.exists(_LIB_FP):
         return None
     lib = ctypes.CDLL(_LIB_FP)
     lib.rle_encode.restype = ctypes.c_longlong
@@ -49,6 +51,19 @@ def _load():
     ]
     lib.rle_area.restype = ctypes.c_longlong
     lib.rle_area.argtypes = [ctypes.c_char_p, ctypes.c_longlong]
+    try:
+        lib.rle_paste_encode.restype = ctypes.c_longlong
+        lib.rle_paste_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_float,
+            ctypes.c_char_p, ctypes.c_longlong,
+        ]
+    except AttributeError:  # pragma: no cover — stale .so, rebuild
+        subprocess.run(["make", "-s", "-C", _DIR, "clean"], check=False)
+        if _build():
+            return _load()
+        raise
     return lib
 
 
@@ -86,3 +101,23 @@ class rle_native:
     @staticmethod
     def area(counts: bytes) -> int:
         return int(_lib.rle_area(counts, len(counts)))
+
+    @staticmethod
+    def paste_encode(probs: np.ndarray, box, img_h: int, img_w: int,
+                     thr: float = 0.5):
+        """Fused bilinear paste + threshold + RLE encode of one
+        detection: (m, m) float probs + XYXY box → compressed RLE dict.
+        Never materializes the (img_h, img_w) canvas."""
+        probs = np.ascontiguousarray(probs, dtype=np.float32)
+        m = probs.shape[0]
+        assert probs.shape == (m, m), probs.shape
+        x0, y0, x1, y1 = (float(v) for v in box)
+        cap = 16 + 8 * (img_h * img_w // 2 + 2)
+        buf = ctypes.create_string_buffer(cap)
+        n = _lib.rle_paste_encode(
+            probs.ctypes.data_as(ctypes.c_void_p), m,
+            x0, y0, x1, y1, img_h, img_w, thr, buf, cap,
+        )
+        if n < 0:  # pragma: no cover
+            raise RuntimeError("rle_paste_encode buffer overflow")
+        return {"size": [int(img_h), int(img_w)], "counts": buf.raw[:n]}

@@ -176,9 +176,20 @@ class Evaluator:
                 probs = _sigmoid_np(
                     out["dt_mask_logits"][b][valid].astype(np.float32)
                 )
-                masks_b = paste_masks_np(
-                    probs, dt_boxes, int(H), int(W), self.mask_thr
+                # Fused native paste+threshold+RLE at the REAL image
+                # size (identical to padded-canvas paste + crop: boxes
+                # only ever cover image pixels); falls back to the
+                # two-step numpy paste when the native lib is absent.
+                dt_rle = RLE.paste_encode_results(
+                    probs, dt_boxes, int(h), int(w), self.mask_thr
                 )
+                if dt_rle is None:
+                    masks_b = paste_masks_np(
+                        probs, dt_boxes, int(H), int(W), self.mask_thr
+                    )
+                    dt_rle = RLE.encode_mask_results(
+                        masks_b[:, : int(h), : int(w)]
+                    )
                 gt_key = (id(meta), b)
                 gt_rle = (
                     self._gt_rle.get(gt_key) if self._reuse_gt_rle else None
@@ -200,9 +211,7 @@ class Evaluator:
                     "dt_scores": out["dt_scores"][b][valid],
                     "dt_bboxes": xyxy_to_yxyx(dt_boxes),
                     "dt_cat_ids": out["dt_cats"][b][valid],
-                    "dt_isegmaps_rle": RLE.encode_mask_results(
-                        masks_b[:, : int(h), : int(w)]
-                    ),
+                    "dt_isegmaps_rle": dt_rle,
                 }
                 results.append(res)
                 if len(results) >= self.chunk_size:

@@ -98,3 +98,40 @@ def test_python_fallback_matches_native(rng):
     assert nat["counts"] == py_counts
     assert np.array_equal(rle_native.decode(py_counts, 37, 41), m)
     assert rle_native.area(py_counts) == int(m.sum())
+
+
+def test_paste_encode_matches_numpy_paste(rng):
+    """Fused native paste+threshold+encode == paste_masks_np + encode
+    (VERDICT r4 item 6). Exact mask equality: both paths use float32
+    separable 2-tap interpolation in the same order."""
+    from fgn_tpu.data import rle as RLE
+    from fgn_tpu.ops.mask_paste import paste_masks_np
+
+    H, W, m = 97, 123, 14
+    probs = rng.rand(6, m, m).astype(np.float32)
+    boxes = np.stack([
+        [3.2, 5.1, 40.9, 60.3],
+        [0.0, 0.0, 122.9, 96.9],     # full canvas
+        [-10.0, -5.0, 30.0, 20.0],   # clipped at origin
+        [100.0, 80.0, 200.0, 150.0], # clipped at far edge
+        [50.0, 50.0, 50.0, 50.0],    # degenerate
+        [30.5, 40.5, 31.5, 41.5],    # tiny
+    ], axis=0).astype(np.float32)
+    out = RLE.paste_encode_results(probs, boxes, H, W, 0.5)
+    assert out is not None, "native paste_encode unavailable"
+    want = paste_masks_np(probs, boxes, H, W, 0.5)
+    for i, r in enumerate(out):
+        assert r["size"] == [H, W]
+        np.testing.assert_array_equal(
+            RLE.decode(r).astype(bool), want[i], err_msg=f"det {i}"
+        )
+
+
+def test_paste_encode_empty_detections():
+    from fgn_tpu.data import rle as RLE
+
+    out = RLE.paste_encode_results(
+        np.zeros((0, 14, 14), np.float32), np.zeros((0, 4), np.float32),
+        32, 32,
+    )
+    assert out == []
