@@ -1,0 +1,133 @@
+"""Data-parallel numerical equivalence (VERDICT r3 item 3a).
+
+The same global batch stepped through the jitted train step on a
+1-device mesh and an 8-device mesh must produce identical gradients,
+losses, and updated parameters (up to fp32 reduction-order noise).
+This is the correctness proof behind parallel/mesh.py's claim that DP
+over the ``data`` axis is pure sharding — XLA's psum inserts the same
+mean the single-device reduction computes.
+
+Reference anchor: SURVEY.md §2.8/§5.8 (the reference has no device DP
+at all; this axis is the rebuild's own and therefore must be proven).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from __graft_entry__ import _toy_batch
+from fgn_tpu.models.fgn import FGN, FGNConfig
+from fgn_tpu.parallel.mesh import (
+    episode_batch_shardings,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from fgn_tpu.train.optim import build_optimizer, make_lr_schedule
+from fgn_tpu.train.train_step import make_train_step
+
+CFG = FGNConfig(
+    n_ways=3, k_shots=1, backbone_norm="gn", backbone_frozen=False,
+    rpn_train_nms_pre=256, rpn_train_max_per_img=64,
+    rpn_test_nms_pre=256, rpn_test_max_per_img=32,
+    rpn_num_samples=16, rcnn_num_samples=16, rcnn_max_per_img=8,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(cpu_devices):
+    model = FGN(cfg=CFG)
+    batch = _toy_batch(B=8, H=64, W=64, N=3, K=1, S=32)
+    init = jax.jit(
+        lambda k, b, r: model.init(k, b, r, method=FGN.train_forward)
+    )
+    params = init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+    return model, params, batch
+
+
+def _loss_fn(model):
+    def loss_fn(params, batch, rng):
+        losses = model.apply(params, batch, rng, method=FGN.train_forward)
+        return sum(v for k, v in losses.items() if k.startswith("loss_"))
+
+    return loss_fn
+
+
+def _grads(model, params, batch, rng, mesh):
+    rep = replicate(mesh)
+    grad_fn = jax.jit(
+        jax.value_and_grad(_loss_fn(model)),
+        in_shardings=(rep, episode_batch_shardings(mesh), rep),
+        out_shardings=(rep, rep),
+    )
+    loss, g = grad_fn(
+        jax.device_put(params, rep), shard_batch(batch, mesh), rng
+    )
+    return float(loss), jax.device_get(g)
+
+
+def _run_steps(model, params, batch, mesh, n_steps=2):
+    rep = replicate(mesh)
+    # deep copy: device_put to an identical sharding is a no-op alias,
+    # and train_step donates its inputs — don't eat the shared fixture
+    params = jax.device_put(jax.device_get(params), rep)
+    # SGD, not Adam: Adam's 1/sqrt(v) normalization turns fp32 grad
+    # noise on near-zero components into O(lr)-scale update differences
+    # (m/sqrt(v) is sign-like on the first steps); SGD keeps the update
+    # LINEAR in the gradient so the sharding-noise bound stays tight.
+    tx = build_optimizer(
+        params, base_lr=5e-3, optimizer="sgd",
+        schedule=make_lr_schedule(5e-3, steps_per_epoch=100, warmup_iters=1),
+    )
+    opt_state = jax.device_put(jax.jit(tx.init)(params), rep)
+    train_step, mesh = make_train_step(model, tx, mesh)
+    sharded = shard_batch(batch, mesh)
+    losses = []
+    for i in range(n_steps):
+        params, opt_state, metrics = train_step(
+            params, opt_state, sharded, jax.random.PRNGKey(100 + i)
+        )
+        losses.append(float(metrics["loss_total"]))
+    return losses, jax.device_get(params)
+
+
+# fp32 noise model (measured, round 4): the forward loss is BIT-IDENTICAL
+# between 1 and 8 devices; gradients differ by <= 1.7e-3 relative to each
+# leaf's max |grad|, concentrated in backbone conv backprop — XLA picks
+# different conv-gradient algorithms / reduction trees for batch-8 vs
+# batch-1-per-shard shapes. A semantic DP bug (wrong psum weighting)
+# would show ~n_devices-sized errors, not 1e-3-of-scale.
+GRAD_REL_OF_LEAFMAX = 4e-3
+
+
+def _assert_tree_close(t1, t2, rel=GRAD_REL_OF_LEAFMAX, atol=1e-7):
+    flat1 = jax.tree_util.tree_leaves_with_path(t1)
+    flat8 = jax.tree_util.tree_leaves(t2)
+    assert len(flat1) == len(flat8)
+    for (path, a), b in zip(flat1, flat8):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, jax.tree_util.keystr(path)
+        tol = rel * max(float(np.abs(a).max()), 0.0) + atol
+        d = float(np.abs(a - b).max())
+        assert d <= tol, (
+            f"{jax.tree_util.keystr(path)}: max|diff| {d:.3e} > {tol:.3e}"
+        )
+
+
+def test_loss_and_grads_dp8_equal_dp1(setup, cpu_devices):
+    model, params, batch = setup
+    rng = jax.random.PRNGKey(7)
+    l1, g1 = _grads(model, params, batch, rng, make_mesh(cpu_devices[:1]))
+    l8, g8 = _grads(model, params, batch, rng, make_mesh(cpu_devices[:8]))
+    np.testing.assert_allclose(l1, l8, rtol=1e-6)
+    _assert_tree_close(g1, g8)
+
+
+def test_train_steps_dp8_equal_dp1(setup, cpu_devices):
+    model, params, batch = setup
+    losses1, p1 = _run_steps(model, params, batch, make_mesh(cpu_devices[:1]))
+    losses8, p8 = _run_steps(model, params, batch, make_mesh(cpu_devices[:8]))
+    np.testing.assert_allclose(losses1, losses8, rtol=1e-4)
+    # SGD update diff <= lr * grad-abs-noise * steps:
+    # 5e-3 * ~4e-4 * 2 ~ 4e-6 (measured 2.9e-6); params are O(0.01-1)
+    _assert_tree_close(p1, p8, rel=1e-4, atol=1e-5)
