@@ -155,6 +155,9 @@ def main(cfg: Config):
         roi_head_lr_mult=float(cfg.optimizer.get("roi_head_lr_mult", 0.1)),
         schedule=schedule,
         cumulative_iters=cum_iters,
+        # Frozen-pretrained backbone (reference main.py:402-405 +
+        # fgn.py:52-53): exclude it from updates entirely.
+        frozen_modules=("backbone",) if mcfg.backbone_frozen else (),
     )
     opt_state = tx.init(params)
 

@@ -82,12 +82,14 @@ def make_lr_schedule(
     return schedule
 
 
-def _roi_mask(params) -> Dict:
+def _roi_mask(params, frozen_modules: Sequence[str] = ()) -> Dict:
     def label(path, _):
         top = path[0].key if hasattr(path[0], "key") else str(path[0])
         # flax puts everything under 'params'
         if top == "params" and len(path) > 1:
             top = path[1].key if hasattr(path[1], "key") else str(path[1])
+        if top in frozen_modules:
+            return "frozen"
         return "roi" if top in ROI_HEAD_MODULES else "main"
 
     return jax.tree_util.tree_map_with_path(label, params)
@@ -101,7 +103,13 @@ def build_optimizer(
     roi_head_lr_mult: float = 0.1,
     schedule=None,
     cumulative_iters: int = 1,
+    frozen_modules: Sequence[str] = (),
 ) -> optax.GradientTransformation:
+    """``frozen_modules``: top-level param-tree names whose updates are
+    hard-zeroed (frozen-pretrained backbone, reference fgn.py:52-53 +
+    requires_grad=False exclusion from the torch optimizer). The
+    stop_gradient in the model already zeroes their GRADIENTS; this
+    additionally keeps decoupled weight decay from eroding them."""
     schedule = schedule or (lambda step: base_lr)
 
     def core(lr_scale: float):
@@ -123,10 +131,13 @@ def build_optimizer(
             optax.scale_by_schedule(lambda s: -lr_scale * schedule(s)),
         )
 
-    labels = _roi_mask(params)
-    tx = optax.multi_transform(
-        {"main": core(1.0), "roi": core(roi_head_lr_mult)}, labels
-    )
+    labels = _roi_mask(params, frozen_modules)
+    transforms = {"main": core(1.0), "roi": core(roi_head_lr_mult)}
+    if frozen_modules:
+        # only added when requested: keeps the opt_state pytree (and so
+        # the compiled train-step cache keys) of standard runs unchanged
+        transforms["frozen"] = optax.set_to_zero()
+    tx = optax.multi_transform(transforms, labels)
     if cumulative_iters > 1:
         # Gradient accumulation (reference fgn_train_schedule.py:19-25,
         # GradientCumulativeOptimizerHook with cumulative_iters=4 —
