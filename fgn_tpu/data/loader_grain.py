@@ -82,20 +82,22 @@ class GrainEpisodeLoader:
 
         ds = self.ds
         max_gt, pad_hw, keep = self.max_gt, self.pad_hw, self.keep_gt_masks
+        # Shard BATCHES, not records (same split as the in-process and
+        # mp paths): grain's record-level ShardOptions followed by local
+        # batching dropped each shard's leftover records, so the shard
+        # union lost episodes (caught by tests/test_multihost_shard.py).
+        flat = [i for b in self._indices() for i in b]
 
         class _Source(grain.RandomAccessDataSource):
             def __len__(self_inner):
-                return len(ds)
+                return len(flat)
 
             def __getitem__(self_inner, i):
-                return ds[int(i)]
+                return ds[int(flat[int(i)])]
 
         sampler = grain.IndexSampler(
-            num_records=len(ds),
-            shard_options=grain.ShardOptions(
-                shard_index=self.shard_index, shard_count=self.shard_count,
-                drop_remainder=self.drop_last,
-            ),
+            num_records=len(flat),
+            shard_options=grain.NoSharding(),
             shuffle=False,
             num_epochs=1,
         )
@@ -113,7 +115,7 @@ class GrainEpisodeLoader:
                     keep_gt_masks=keep,
                 )
                 buf = []
-        if buf and not self.drop_last:
+        if buf:  # only possible when drop_last=False (short final batch)
             n_real = len(buf)
             while len(buf) < self.batch_size:
                 buf.append(buf[-1])
