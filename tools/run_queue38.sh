@@ -34,6 +34,17 @@ else
 fi
 sleep 60
 
+# -- 0b. host episode-pipeline benchmark on the idle host ---------------
+# First invocation builds the MNISTISEG N3K3 support bank (one-time
+# datagen cost, disk-cached); the second is the VERDICT item-2
+# cold-start measurement (fresh process, banks on disk).
+timeout 1800 python tools/host_bench.py 100 --n3k3 \
+  > "$LOG_DIR/host_bench_build.log" 2>&1
+echo "=== host_bench bank-build pass rc=$? $(date -u) ==="
+timeout 900 python tools/host_bench.py 200 --n3k3 \
+  > "$LOG_DIR/host_bench_cold.log" 2>&1
+echo "=== host_bench cold rc=$? $(date -u) ==="
+
 # -- 1. device profile (best-effort, ~10 min) ---------------------------
 timeout 1800 python tools/profile_device.py --out runs/profile_infer \
   > "$LOG_DIR/profile_infer.log" 2>&1
