@@ -56,6 +56,38 @@ def _convert(xplane_fps, tool: str):
     return data
 
 
+_PEAK_BF16 = 197e12  # TPU v5e
+_HBM_BW = 819e9  # bytes/s, v5e
+
+
+def _cost_blob(compiled, n_imgs: int, measured_s: float):
+    """XLA cost analysis → analytic roofline for the whole graph."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+    except Exception:
+        return None
+    flops = float(cost.get("flops", 0.0))
+    byts = float(cost.get("bytes accessed", 0.0))
+    t_flops = flops / _PEAK_BF16
+    t_bytes = byts / _HBM_BW
+    roof = max(t_flops, t_bytes)
+    return {
+        "flops": flops,
+        "bytes_accessed": byts,
+        "t_flops_s": t_flops,
+        "t_bytes_s": t_bytes,
+        "roofline_s": roof,
+        "bound": "flops" if t_flops >= t_bytes else "bytes",
+        "measured_s_per_iter": measured_s,
+        "roofline_fraction": roof / measured_s if measured_s else None,
+        "mfu": flops / _PEAK_BF16 / measured_s if measured_s else None,
+        "arith_intensity_flops_per_byte": flops / byts if byts else None,
+        "imgs_per_iter": n_imgs,
+    }
+
+
 def capture(out_dir: str, train: bool, iters: int = 10):
     from __graft_entry__ import _toy_batch
     from fgn_tpu.models.fgn import FGN, FGNConfig
@@ -115,6 +147,11 @@ def capture(out_dir: str, train: bool, iters: int = 10):
             float(np.asarray(b_))
 
     run_iters(2)  # steady state
+    # measured steady-state rate (chained; matches bench.py methodology)
+    t0 = time.perf_counter()
+    run_iters(iters)
+    measured = (time.perf_counter() - t0) / iters
+
     logdir = os.path.join(out_dir, "trace")
     os.makedirs(logdir, exist_ok=True)
     t0 = time.perf_counter()
@@ -123,6 +160,32 @@ def capture(out_dir: str, train: bool, iters: int = 10):
     jax.profiler.stop_trace()
     dt = time.perf_counter() - t0
     print(f"captured {iters} iters in {dt:.2f}s -> {logdir}")
+
+    # Analytic roofline from XLA cost analysis of the same compiled graph.
+    try:
+        if train:
+            compiled = step.lower(
+                p, o, batch, jax.random.PRNGKey(2)
+            ).compile()
+        else:
+            compiled = chained.lower(
+                params, fbatch, jnp.float32(0.0)
+            ).compile()
+        blob = _cost_blob(compiled, B, measured)
+        if blob:
+            with open(os.path.join(out_dir, "cost.json"), "w") as f:
+                json.dump(blob, f, indent=1)
+            print(
+                "roofline: bound=%s t_flops=%.1fms t_bytes=%.1fms "
+                "measured=%.1fms roofline-fraction=%.2f mfu=%.3f"
+                % (
+                    blob["bound"], blob["t_flops_s"] * 1e3,
+                    blob["t_bytes_s"] * 1e3, measured * 1e3,
+                    blob["roofline_fraction"], blob["mfu"],
+                )
+            )
+    except Exception as e:
+        print(f"cost analysis failed: {e}")
     return logdir
 
 
