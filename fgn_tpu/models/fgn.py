@@ -327,9 +327,11 @@ class FGN(nn.Module):
         if _auto_pallas(self.cfg) and fmap.shape[-1] % 128 == 0:
             from fgn_tpu.ops.roi_align_pallas import roi_align_pallas
 
-            out = roi_align_pallas(
-                fmap.astype(jnp.float32), rois, 7, spatial_scale=scale
-            )
+            # kernel takes the fmap in its native dtype (bf16 on TPU):
+            # halves the fmap DMA, computes in f32 in-VMEM, stores
+            # out in fmap.dtype (same single rounding the old
+            # f32-out + astype pair performed)
+            out = roi_align_pallas(fmap, rois, 7, spatial_scale=scale)
             return out.astype(fmap.dtype)
         return roi_align(fmap, rois, 7, spatial_scale=scale)
 

@@ -48,7 +48,7 @@ def _hat_weights(start, bin_size, size: int, out_size: int, ratio: int):
 def _kernel(wy_ref, wx_ref, f_ref, o_ref):
     wy = wy_ref[0]  # (RC, O, H)
     wx = wx_ref[0]  # (RC, O, W)
-    f = f_ref[0]  # (H, W, CC)
+    f = f_ref[0].astype(jnp.float32)  # (H, W, CC) — cast in-VMEM (exact)
     RC, O, H = wy.shape
     W = wx.shape[-1]
     CC = f.shape[-1]
@@ -66,7 +66,9 @@ def _kernel(wy_ref, wx_ref, f_ref, o_ref):
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (RC, O*CC, O)
-    o_ref[0] = out.reshape(RC, O, CC, O).transpose(0, 1, 3, 2)
+    o_ref[0] = (
+        out.reshape(RC, O, CC, O).transpose(0, 1, 3, 2).astype(o_ref.dtype)
+    )
 
 
 def roi_align_pallas(
@@ -107,10 +109,14 @@ def _vjp_fn(out_size, spatial_scale, sampling_ratio, aligned,
         return fwd_impl(fmap, rois)
 
     def f_fwd(fmap, rois):
-        return fwd_impl(fmap, rois), (rois, fmap.shape)
+        # zero-size dtype witness: np.dtype itself is not a JAX type
+        return fwd_impl(fmap, rois), (
+            rois, fmap.shape, jnp.zeros((), fmap.dtype)
+        )
 
     def f_bwd(res, g):
-        rois, fshape = res
+        rois, fshape, fwitness = res
+        fdtype = fwitness.dtype
         B, H, W, C = fshape
         O = out_size
         wy, wx = _roi_weights(
@@ -136,7 +142,7 @@ def _vjp_fn(out_size, spatial_scale, sampling_ratio, aligned,
         df, _ = jax.lax.scan(
             body, jnp.zeros((B, H, W, C), jnp.float32), jnp.arange(nchunks)
         )
-        return df, jnp.zeros_like(rois)
+        return df.astype(fdtype), jnp.zeros_like(rois)
 
     f.defvjp(f_fwd, f_bwd)
     return jax.jit(f)
@@ -174,46 +180,59 @@ def _forward(
         rois, H, W, O, spatial_scale, sampling_ratio, aligned
     )  # (B, R, O, H), (B, R, O, W)
 
-    RC = min(roi_chunk, R)
+    CC = min(channel_block, C)
+    assert C % CC == 0, f"C={C} must tile by channel_block={CC}"
+    # ROI-chunk size: the biggest divisor of R that keeps the (RC·O,
+    # W·CC) f32 intermediate inside a ~5.5 MB VMEM budget — a divisor
+    # means NO padding, so the out[:, :R] slice (a full-tensor copy at
+    # the old RC=8) disappears and the MXU sees M = RC·O rows per dot.
+    cap = max(int(5.5e6) // (O * W * CC * 4), 1)
+    cap = min(cap, 32, R)
+    RC = max((d for d in range(1, cap + 1) if R % d == 0), default=1)
+    if RC < 8 and R > cap:  # awkward R (e.g. prime): pad instead
+        RC = min(roi_chunk, cap)
     pad_r = (-R) % RC
     if pad_r:
         wy = jnp.pad(wy, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
         wx = jnp.pad(wx, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
     Rp = R + pad_r
-    CC = min(channel_block, C)
-    assert C % CC == 0, f"C={C} must tile by channel_block={CC}"
 
     out = pl.pallas_call(
         _kernel,
-        grid=(B, Rp // RC, C // CC),
+        # r innermost: the fmap block's index (b, c) is unchanged across
+        # the whole r sweep, so Pallas keeps it VMEM-resident instead of
+        # re-fetching it per ROI chunk (the old (b, r, c) order re-read
+        # the fmap Rp/RC times — ~0.5 GB/step at the 300-proposal test
+        # geometry, the #1 op in the round-4 device profile).
+        grid=(B, C // CC, Rp // RC),
         in_specs=[
             pl.BlockSpec(
-                (1, RC, O, H), lambda b, r, c: (b, r, 0, 0),
+                (1, RC, O, H), lambda b, c, r: (b, r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, RC, O, W), lambda b, r, c: (b, r, 0, 0),
+                (1, RC, O, W), lambda b, c, r: (b, r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, H, W, CC), lambda b, r, c: (b, 0, 0, c),
+                (1, H, W, CC), lambda b, c, r: (b, 0, 0, c),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, RC, O, O, CC), lambda b, r, c: (b, r, 0, 0, c),
+            (1, RC, O, O, CC), lambda b, c, r: (b, r, 0, 0, c),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Rp, O, O, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Rp, O, O, C), fmap.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Rp * O * H * W * C + 2 * B * Rp * O * O * W * C,
             bytes_accessed=(
-                B * H * W * C * 4 * (Rp // RC)
-                + B * Rp * O * (H + W) * 4
-                + B * Rp * O * O * C * 4
+                B * H * W * C * fmap.dtype.itemsize
+                + B * Rp * O * (H + W) * 4 * (C // CC)
+                + B * Rp * O * O * C * fmap.dtype.itemsize
             ),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(wy, wx, fmap.astype(jnp.float32))
-    return out[:, :R]
+    )(wy, wx, fmap)
+    return out[:, :R] if pad_r else out
