@@ -244,11 +244,14 @@ class FGN(nn.Module):
     def _merge_ways(cls, reg):
         """Per anchor position keep the way with the top objectness
         (fgn_ag_rpn_head.py:87-108). cls (B,N,h,w,A) → (B,h,w,A)."""
+        # max == value at argmax, and a one-hot contraction replaces the
+        # take_along_axis gather: TPU gathers run element-by-element on
+        # the scalar core (1.3 ms/step here in the round-4 profile);
+        # both forms are bit-exact (1.0/0.0 weights, adding zeros).
+        merged_cls = jnp.max(cls, axis=1)
         top = jnp.argmax(cls, axis=1)  # (B, h, w, A)
-        merged_cls = jnp.take_along_axis(cls, top[:, None], axis=1)[:, 0]
-        merged_reg = jnp.take_along_axis(
-            reg, top[:, None, ..., None], axis=1
-        )[:, 0]
+        onehot = jax.nn.one_hot(top, cls.shape[1], axis=1, dtype=reg.dtype)
+        merged_reg = jnp.einsum("bnhwa,bnhwac->bhwac", onehot, reg)
         return merged_cls, merged_reg
 
     def get_proposals(self, cls_score, bbox_pred, img_hw, nms_pre: int,
@@ -369,7 +372,8 @@ class FGN(nn.Module):
         # fg-argmax merge (fgn_roi_head.py:302-326)
         fg = cls[..., 1]  # (B, R, N)
         top = jnp.argmax(fg, axis=-1)  # (B, R)
-        bg = jnp.take_along_axis(cls[..., 0], top[..., None], axis=-1)
+        onehot = jax.nn.one_hot(top, N, dtype=cls.dtype)  # (B, R, N)
+        bg = jnp.sum(cls[..., 0] * onehot, axis=-1, keepdims=True)
         cls_final = jnp.concatenate([fg, bg], axis=-1)  # (B, R, N+1)
         return cls_final, reg
 
@@ -542,9 +546,10 @@ class FGN(nn.Module):
             lw.reshape(B * R), n_valid,
         )
         way = jnp.clip(labels, 0, N - 1)
-        pred_deltas = jnp.take_along_axis(
-            reg_ways, way[..., None, None], axis=2
-        )[:, :, 0]  # (B, R, 4)
+        way_oh = jax.nn.one_hot(way, N, dtype=reg_ways.dtype)  # (B, R, N)
+        pred_deltas = jnp.einsum(
+            "brn,brnd->brd", way_oh, reg_ways
+        )  # (B, R, 4) — one-hot contraction instead of a scalar-core gather
         targets = delta_encode(
             rois, tgt_boxes, stds=c.rcnn_bbox_stds
         )
@@ -564,8 +569,11 @@ class FGN(nn.Module):
         pos_feats = bbox_feats[:, :P_max]
         pos_labels = way[:, :P_max]
         if c.guidance:
-            gate = jnp.take_along_axis(
-                spp_vecs_mask, pos_labels[..., None], axis=1
+            lab_oh = jax.nn.one_hot(
+                pos_labels, N, dtype=spp_vecs_mask.dtype
+            )  # (B, P_max, N)
+            gate = jnp.einsum(
+                "bpn,bnc->bpc", lab_oh, spp_vecs_mask
             )  # (B, P_max, C)
             pos_feats = pos_feats * gate[:, :, None, None, :].astype(
                 pos_feats.dtype
@@ -582,9 +590,10 @@ class FGN(nn.Module):
             mask_fmap, rois[:, :P_max].astype(jnp.float32), c.mask_size,
             spatial_scale=float(mh) / float(Himg),
         )  # (B, P_max, m, m, G)
-        tgt = jnp.take_along_axis(
-            aligned, gt_idx[:, :P_max, None, None, None], axis=-1
-        )[..., 0]
+        gt_oh = jax.nn.one_hot(
+            gt_idx[:, :P_max], aligned.shape[-1], dtype=aligned.dtype
+        )  # (B, P_max, G)
+        tgt = jnp.einsum("bpxyg,bpg->bpxy", aligned, gt_oh)
         tgt = (tgt >= 0.5).astype(jnp.float32)
         mw_ = is_pos[:, :P_max].astype(jnp.float32)[..., None, None]
         n_pos_px = jnp.maximum(
@@ -650,9 +659,8 @@ class FGN(nn.Module):
         # (fgn_roi_head.py:675-719).
         det_feats = self._bbox_feats(qry_fmap, dt_boxes)
         if c.guidance:
-            gate = jnp.take_along_axis(
-                spp_vecs_mask, dt_cats[..., None], axis=1
-            )
+            cat_oh = jax.nn.one_hot(dt_cats, N, dtype=spp_vecs_mask.dtype)
+            gate = jnp.einsum("bmn,bnc->bmc", cat_oh, spp_vecs_mask)
             det_feats = det_feats * gate[:, :, None, None, :].astype(
                 det_feats.dtype
             )

@@ -31,6 +31,7 @@ from fgn_tpu.data.batching import EpisodeLoader
 from fgn_tpu.data.fsisegeval import FSISEGEval
 from fgn_tpu.ops.mask_paste import paste_masks, paste_masks_np
 from fgn_tpu.ops.boxes import xyxy_to_yxyx
+from fgn_tpu.train.train_step import unpack_eval_out
 
 
 def _sigmoid_np(x: np.ndarray) -> np.ndarray:
@@ -165,6 +166,7 @@ class Evaluator:
             out_dev, batch, meta = pending
             t0 = time.monotonic()
             out = jax.tree_util.tree_map(np.asarray, out_dev)
+            out = unpack_eval_out(out)
             t_fetch += time.monotonic() - t0
             t0 = time.monotonic()
             H, W = batch.qry_img.shape[1:3]
