@@ -316,6 +316,14 @@ class Runner:
             raise err[0]
 
     def run(self):
+        # A zero-step epoch (batch_size > len(ds) with drop_last) would
+        # save every epoch checkpoint under the SAME step id — orbax
+        # silently skips re-saving an existing step, so resume would
+        # lose epoch progress. Fail loudly instead.
+        assert len(self.train_ds) >= self.batch_size, (
+            f"batch_size {self.batch_size} > dataset {len(self.train_ds)}"
+            " — every epoch would run zero steps"
+        )
         for epoch in range(self.epoch, self.max_epochs):
             self.epoch = epoch
             self.train_ds.reshuffle(epoch)

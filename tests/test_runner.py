@@ -18,8 +18,10 @@ from tests.test_train_e2e import TINY_MODEL, TinyFewShot, TinyMNISTISEG
 def tiny(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("runner")
     root = str(tmp / "raw")
+    # 20 raw images: novel-digit-only images drop out of the parents
+    # pool, and the 8-device runner test needs len(ds) >= batch 8
     TinyMNISTISEG.create(
-        root=root, quantities={"train": 8, "val": 2, "test": 2}, seed=9
+        root=root, quantities={"train": 20, "val": 2, "test": 2}, seed=9
     )
     cfg = dict(
         n_ways=1, k_shots=1,
@@ -66,6 +68,7 @@ def test_runner_trains_checkpoints_and_resumes(tiny):
     runner = _build(ds, work, n_dev=8, batch_size=8)
     runner.run()
     steps_per_epoch = len(ds) // 8
+    assert steps_per_epoch >= 1, "degenerate fixture: zero-step epochs"
     assert runner.step == 2 * steps_per_epoch
     ckpts = os.listdir(os.path.join(work, "checkpoints"))
     assert ckpts, "no checkpoints saved"
