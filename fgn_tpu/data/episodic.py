@@ -420,6 +420,28 @@ class FewShotISEG:
             "row": {int(v): r for r, v in enumerate(ids)},
         }
 
+    # np.memmap pickles BY VALUE (as a plain ndarray) — a dataset sent
+    # to loader worker processes would materialize the whole bank
+    # (hundreds of MB at OMNI scale) per worker. Ship the file paths
+    # instead and reopen the memmaps on unpickle.
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        bank = state.get("_spp_bank")
+        if bank is not None and not isinstance(bank.get("imgs"), str):
+            prefix = self._spp_bank_prefix
+            bank = dict(bank)
+            bank["imgs"] = f"{prefix}_imgs.npy"
+            bank["masks"] = f"{prefix}_masks.npy"
+            state["_spp_bank"] = bank
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        bank = getattr(self, "_spp_bank", None)
+        if bank is not None and isinstance(bank.get("imgs"), str):
+            bank["imgs"] = np.load(bank["imgs"], mmap_mode="r")
+            bank["masks"] = np.load(bank["masks"], mmap_mode="r")
+
     # -- order / shuffle ------------------------------------------------------
 
     def _build_order(self):

@@ -73,7 +73,8 @@ def batch_heuristic(n_ways: int, k_shots: int) -> int:
     return 8
 
 
-def _init_params(model: FGN, ds, batch_size: int, max_gt: int, pad_hw=None):
+def _init_params(model: FGN, ds, batch_size: int, max_gt: int, pad_hw=None,
+                 seed: int = 0):
     """Initialize parameters from one real batch (jitted — eager init is
     minutes on a slow host)."""
     from fgn_tpu.data.batching import collate_episodes
@@ -85,7 +86,7 @@ def _init_params(model: FGN, ds, batch_size: int, max_gt: int, pad_hw=None):
     init = jax.jit(
         lambda k, b, r: model.init(k, b, r, method=FGN.train_forward)
     )
-    params = init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+    params = init(jax.random.PRNGKey(seed), batch, jax.random.PRNGKey(seed + 1))
     return params, batch
 
 
@@ -119,9 +120,16 @@ def main(cfg: Config):
 
     batch_size = int(cfg.get("batch_size") or batch_heuristic(mcfg.n_ways, mcfg.k_shots))
     max_gt = int(cfg.get("max_gt", 30))
+    # Run seed (config key `seed`, default 0): drives param init and the
+    # Runner's train-forward sampling rng — distinct seeds give genuinely
+    # independent training trajectories for run-to-run variance bands
+    # (dataset order stays the reference's epoch-seeded reshuffle).
+    run_seed = int(cfg.get("seed", 0))
 
     # --- model / optimizer ----------------------------------------------
-    params, example_batch = _init_params(model, train_ds, batch_size, max_gt)
+    params, example_batch = _init_params(
+        model, train_ds, batch_size, max_gt, seed=run_seed
+    )
 
     maybe_ckpt = cfg.get("checkpoint_fp") or ""
     if maybe_ckpt:
@@ -215,6 +223,7 @@ def main(cfg: Config):
         max_gt=max_gt,
         max_keep_ckpts=int(cfg.get("max_keep_ckpts", 3)),
         log_interval=int(cfg.get("log_interval", 50)),
+        seed=run_seed,
         # TB logs LR in micro-step domain (the Runner's step counter).
         lr_schedule=(
             schedule if cum_iters == 1

@@ -122,6 +122,16 @@ class FGNConfig:
     mask_thr: float = 0.5
     rcnn_bbox_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
     compute_dtype: str = "float32"
+    # Rematerialization (jax.checkpoint via nn.remat) over the named
+    # blocks — comma-set of {"backbone", "res5", "relation", "mask"},
+    # "" = off. The train step is BANDWIDTH-bound at 89% of its
+    # bytes-roofline (reports/perf_profile.md): recomputing activations
+    # in the backward pass trades idle MXU flops for HBM traffic, and
+    # shrinks peak HBM (the relation head materializes a
+    # (B,R,N,7,7,1024) tensor — the N3K1 b10 crash site). Numerically
+    # identical to remat off (same ops, same order — proven in
+    # tests/test_remat.py); no effect on test_forward graphs.
+    remat: str = ""
     # None = auto: Pallas RoIAlign on TPU, gather formulation elsewhere.
     use_pallas_roi_align: Optional[bool] = None
     # None = auto: fused Pallas NMS keep-mask kernel on TPU (exact
@@ -169,7 +179,12 @@ class FGN(nn.Module):
         c = self.cfg
         dt = _compute_dtype(c)
         A = c.num_anchors
-        self.backbone = ResNetC4(
+        remats = set(filter(None, c.remat.split(",")))
+        # nn.remat(cls) keeps the submodule's param paths — checkpoints
+        # are interchangeable between remat on/off.
+        bb_cls = ResNetC4 if "backbone" not in remats else nn.remat(ResNetC4)
+        r5_cls = SharedRes5 if "res5" not in remats else nn.remat(SharedRes5)
+        self.backbone = bb_cls(
             norm=c.backbone_norm, frozen=c.backbone_frozen,
             deep_stem=c.deep_stem, avg_down=c.avg_down, dtype=dt,
         )
@@ -179,7 +194,7 @@ class FGN(nn.Module):
         self.rpn_cls = nn.Conv(A, (1, 1), dtype=dt)
         self.rpn_reg = nn.Conv(A * 4, (1, 1), dtype=dt)
         # RoI tower
-        self.shared5 = SharedRes5(norm=c.res5_norm, dtype=dt)
+        self.shared5 = r5_cls(norm=c.res5_norm, dtype=dt)
         self.rel_conv_roi = nn.Conv(1024, (1, 1), dtype=dt)
         # bias only on the roi half: conv(concat) has a single bias
         self.rel_conv_spp = nn.Conv(1024, (1, 1), use_bias=False, dtype=dt)
@@ -350,6 +365,14 @@ class FGN(nn.Module):
         return feats.reshape(B, R, 7, 7, C)
 
     def _relation(self, bbox_feats, spp_maps):
+        if "relation" in self.cfg.remat:
+            # Remat the (B,R,N,7,7,1024) materialization: it is the
+            # biggest live tensor of the backward pass (and the N3K1
+            # b10 HBM crash site, reports/hbm_budget.md).
+            return nn.remat(FGN._relation_impl)(self, bbox_feats, spp_maps)
+        return self._relation_impl(bbox_feats, spp_maps)
+
+    def _relation_impl(self, bbox_feats, spp_maps):
         """Relation head → (cls_final (B,R,N+1), reg (B,R,N,4)).
 
         Math-equivalent restructuring of concat→1×1conv (see module
@@ -378,6 +401,11 @@ class FGN(nn.Module):
         return cls_final, reg
 
     def _mask_head(self, feats):
+        if "mask" in self.cfg.remat:
+            return nn.remat(FGN._mask_head_impl)(self, feats)
+        return self._mask_head_impl(feats)
+
+    def _mask_head_impl(self, feats):
         """(P, 7, 7, 1024) gated RoI feats → (P, 14, 14) logits."""
         x = feats
         for conv in (self.mask_convs_0, self.mask_convs_1,

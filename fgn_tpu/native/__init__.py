@@ -60,6 +60,11 @@ def _load():
             ctypes.c_char_p, ctypes.c_longlong,
         ]
     except AttributeError:  # pragma: no cover — stale .so, rebuild
+        if os.environ.get("FGN_TPU_NATIVE_BUILD", "1") == "0":
+            # Builds forbidden: leave the existing .so on disk (its
+            # other symbols keep working) and expose it without the
+            # new entry point — callers feature-test via getattr.
+            return lib
         subprocess.run(["make", "-s", "-C", _DIR, "clean"], check=False)
         if _build():
             return _load()
@@ -121,3 +126,10 @@ class rle_native:
         if n < 0:  # pragma: no cover
             raise RuntimeError("rle_paste_encode buffer overflow")
         return {"size": [int(img_h), int(img_w)], "counts": buf.raw[:n]}
+
+
+if not hasattr(_lib, "rle_paste_encode"):  # pragma: no cover
+    # Prebuilt .so predating the fused kernel with builds forbidden
+    # (FGN_TPU_NATIVE_BUILD=0): drop the method so data/rle.py's
+    # hasattr feature-test routes callers to the two-step NumPy path.
+    del rle_native.paste_encode

@@ -45,10 +45,10 @@ def _hat_weights(start, bin_size, size: int, out_size: int, ratio: int):
     return w.sum(axis=-2) / float(S)  # (..., O, size)
 
 
-def _kernel(wy_ref, wx_ref, f_ref, o_ref):
-    wy = wy_ref[0]  # (RC, O, H)
-    wx = wx_ref[0]  # (RC, O, W)
-    f = f_ref[0].astype(jnp.float32)  # (H, W, CC) — cast in-VMEM (exact)
+def _chunk_contract(wy, wx, f):
+    """Two MXU contractions for one ROI chunk.
+
+    wy (RC, O, H), wx (RC, O, W), f (H, W, CC) f32 → (RC, O, O, CC)."""
     RC, O, H = wy.shape
     W = wx.shape[-1]
     CC = f.shape[-1]
@@ -66,9 +66,37 @@ def _kernel(wy_ref, wx_ref, f_ref, o_ref):
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (RC, O*CC, O)
-    o_ref[0] = (
-        out.reshape(RC, O, CC, O).transpose(0, 1, 3, 2).astype(o_ref.dtype)
-    )
+    return out.reshape(RC, O, CC, O).transpose(0, 1, 3, 2)
+
+
+def _kernel(wy_ref, wx_ref, f_ref, o_ref):
+    """Grid (B, C//CC, Rp//RC): one ROI chunk per invocation."""
+    o_ref[0] = _chunk_contract(
+        wy_ref[0], wx_ref[0], f_ref[0].astype(jnp.float32)
+    ).astype(o_ref.dtype)
+
+
+def _kernel_roi_loop(rc: int, wy_ref, wx_ref, f_ref, o_ref):
+    """Grid (B, C//CC): ALL ROI chunks looped inside one invocation.
+
+    The round-4 device profile measured ~2.5 ms/step of fixed Pallas
+    per-invocation overhead at the 3-D grid (320 invocations × ~10 µs,
+    reports/perf_profile.md:76-82); the full (Rp, O, H/W) weight tensors
+    fit VMEM comfortably (≤0.6 MB each at the 300-proposal test
+    geometry), so the r sweep runs as a fori_loop over VMEM-resident
+    inputs — B × C/CC invocations total, same arithmetic per chunk
+    (bit-identical outputs, tests/test_roi_align_pallas.py)."""
+    f = f_ref[0].astype(jnp.float32)  # (H, W, CC) — cast once, in-VMEM
+    nchunks = wy_ref.shape[1] // rc
+
+    def body(i, _):
+        sl = pl.ds(i * rc, rc)
+        o_ref[0, sl] = _chunk_contract(
+            wy_ref[0, sl], wx_ref[0, sl], f
+        ).astype(o_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
 
 
 def roi_align_pallas(
@@ -83,25 +111,30 @@ def roi_align_pallas(
     roi_chunk: int = 8,
     channel_block: int = 128,
     interpret: bool = False,
+    roi_loop: bool = True,
 ) -> jnp.ndarray:
     """Differentiable wrt ``fmap`` (custom VJP: the transposed matmul
     pair, chunked over rois). Like torchvision, no gradient flows to the
-    roi coordinates."""
+    roi coordinates.
+
+    ``roi_loop=True`` (default) sweeps the ROI chunks inside the kernel
+    (grid B × C/CC); ``False`` keeps the ROI axis on the grid — same
+    arithmetic either way, kept for A/B parity tests."""
     f = _vjp_fn(
         out_size, spatial_scale, sampling_ratio, aligned,
-        roi_chunk, channel_block, interpret,
+        roi_chunk, channel_block, interpret, roi_loop,
     )
     return f(fmap, rois)
 
 
 @functools.lru_cache(maxsize=None)
 def _vjp_fn(out_size, spatial_scale, sampling_ratio, aligned,
-            roi_chunk, channel_block, interpret):
+            roi_chunk, channel_block, interpret, roi_loop=True):
     fwd_impl = functools.partial(
         _forward, out_size=out_size, spatial_scale=spatial_scale,
         sampling_ratio=sampling_ratio, aligned=aligned,
         roi_chunk=roi_chunk, channel_block=channel_block,
-        interpret=interpret,
+        interpret=interpret, roi_loop=roi_loop,
     )
 
     @jax.custom_vjp
@@ -172,6 +205,7 @@ def _forward(
     roi_chunk: int,
     channel_block: int,
     interpret: bool,
+    roi_loop: bool,
 ) -> jnp.ndarray:
     B, H, W, C = fmap.shape
     R = rois.shape[1]
@@ -183,10 +217,12 @@ def _forward(
     CC = min(channel_block, C)
     assert C % CC == 0, f"C={C} must tile by channel_block={CC}"
     # ROI-chunk size: the biggest divisor of R that keeps the (RC·O,
-    # W·CC) f32 intermediate inside a ~5.5 MB VMEM budget — a divisor
+    # W·CC) f32 intermediate inside a ~3 MB VMEM budget — a divisor
     # means NO padding, so the out[:, :R] slice (a full-tensor copy at
     # the old RC=8) disappears and the MXU sees M = RC·O rows per dot.
-    cap = max(int(5.5e6) // (O * W * CC * 4), 1)
+    # (Budget lowered 5.5 → 3 MB with the in-kernel ROI loop: the full
+    # weight tensors + double-buffered out block now share VMEM.)
+    cap = max(int(3e6) // (O * W * CC * 4), 1)
     cap = min(cap, 32, R)
     RC = max((d for d in range(1, cap + 1) if R % d == 0), default=1)
     if RC < 8 and R > cap:  # awkward R (e.g. prime): pad instead
@@ -197,42 +233,74 @@ def _forward(
         wx = jnp.pad(wx, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
     Rp = R + pad_r
 
-    out = pl.pallas_call(
-        _kernel,
-        # r innermost: the fmap block's index (b, c) is unchanged across
-        # the whole r sweep, so Pallas keeps it VMEM-resident instead of
-        # re-fetching it per ROI chunk (the old (b, r, c) order re-read
-        # the fmap Rp/RC times — ~0.5 GB/step at the 300-proposal test
-        # geometry, the #1 op in the round-4 device profile).
-        grid=(B, C // CC, Rp // RC),
-        in_specs=[
-            pl.BlockSpec(
-                (1, RC, O, H), lambda b, c, r: (b, r, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, RC, O, W), lambda b, c, r: (b, r, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, H, W, CC), lambda b, c, r: (b, 0, 0, c),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, RC, O, O, CC), lambda b, c, r: (b, r, 0, 0, c),
-            memory_space=pltpu.VMEM,
+    cost = pl.CostEstimate(
+        flops=2 * B * Rp * O * H * W * C + 2 * B * Rp * O * O * W * C,
+        bytes_accessed=(
+            B * H * W * C * fmap.dtype.itemsize
+            + B * Rp * O * (H + W) * 4 * (C // CC)
+            + B * Rp * O * O * C * fmap.dtype.itemsize
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Rp, O, O, C), fmap.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * Rp * O * H * W * C + 2 * B * Rp * O * O * W * C,
-            bytes_accessed=(
-                B * H * W * C * fmap.dtype.itemsize
-                + B * Rp * O * (H + W) * 4 * (C // CC)
-                + B * Rp * O * O * C * fmap.dtype.itemsize
+        transcendentals=0,
+    )
+    if roi_loop:
+        # 2-D grid, ROI sweep inside the kernel: B × C/CC invocations
+        # (vs B × C/CC × Rp/RC) — the per-invocation fixed cost was
+        # ~2.5 ms/step at the test geometry (perf_profile.md:76-82).
+        out = pl.pallas_call(
+            functools.partial(_kernel_roi_loop, RC),
+            grid=(B, C // CC),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, Rp, O, H), lambda b, c: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, Rp, O, W), lambda b, c: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, H, W, CC), lambda b, c: (b, 0, 0, c),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, Rp, O, O, CC), lambda b, c: (b, 0, 0, 0, c),
+                memory_space=pltpu.VMEM,
             ),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(wy, wx, fmap)
+            out_shape=jax.ShapeDtypeStruct((B, Rp, O, O, C), fmap.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(wy, wx, fmap)
+    else:
+        out = pl.pallas_call(
+            _kernel,
+            # r innermost: the fmap block's index (b, c) is unchanged
+            # across the whole r sweep, so Pallas keeps it VMEM-resident
+            # instead of re-fetching it per ROI chunk (the old (b, r, c)
+            # order re-read the fmap Rp/RC times — ~0.5 GB/step at the
+            # 300-proposal test geometry, the #1 op in the round-4
+            # device profile).
+            grid=(B, C // CC, Rp // RC),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, RC, O, H), lambda b, c, r: (b, r, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, RC, O, W), lambda b, c, r: (b, r, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, H, W, CC), lambda b, c, r: (b, 0, 0, c),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, RC, O, O, CC), lambda b, c, r: (b, r, 0, 0, c),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Rp, O, O, C), fmap.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(wy, wx, fmap)
     return out[:, :R] if pad_r else out

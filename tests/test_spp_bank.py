@@ -39,6 +39,33 @@ def _cfg(root, fst_root, **kw):
     return cfg
 
 
+def test_bank_pickles_by_path_not_value(roots):
+    """ADVICE r4: pickling the dataset (grain worker_count>0 sends it to
+    worker processes) must NOT serialize the memmapped bank arrays by
+    value — only their paths — and the unpickled dataset must reopen
+    them and serve byte-identical crops."""
+    import pickle
+
+    root, fst = roots
+    ds = TinyFewShot(_cfg(root, fst))
+    assert ds._spp_bank is not None
+    state = ds.__getstate__()
+    assert isinstance(state["_spp_bank"]["imgs"], str)
+    assert isinstance(state["_spp_bank"]["masks"], str)
+    blob = pickle.dumps(ds)
+    # original dataset unharmed (its memmaps stay open)
+    assert not isinstance(ds._spp_bank["imgs"], str)
+
+    ds2 = pickle.loads(blob)
+    assert isinstance(ds2._spp_bank["imgs"], np.memmap)
+    eligible = sorted({i for pool in ds.cats_insts_list for i in pool})
+    for inst_id in eligible[:3]:
+        a = ds._crop_support(ds.insts[inst_id], inst_id)
+        b = ds2._crop_support(ds2.insts[inst_id], inst_id)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
 def test_bank_matches_compute_path(roots):
     root, fst = roots
     ds = TinyFewShot(_cfg(root, fst))

@@ -72,7 +72,10 @@ def main(work_dir: str, out_fp: str):
     from fgn_tpu.train.checkpoints import CheckpointManager
 
     ckpt = CheckpointManager(work_dir)
-    step, restored = ckpt.restore()
+    result = ckpt.restore()
+    if result is None:
+        raise SystemExit(f"no checkpoint found in {work_dir}")
+    step, restored = result
     backbone = restored["params"]["params"]["backbone"]
     sd = backbone_to_state_dict(backbone)
     torch.save(
