@@ -77,14 +77,10 @@ def _kernel(wy_ref, wx_ref, f_ref, o_ref):
 
 
 def _kernel_roi_loop(rc: int, wy_ref, wx_ref, f_ref, o_ref):
-    """Grid (B, C//CC): ALL ROI chunks looped inside one invocation.
-
-    The round-4 device profile measured ~2.5 ms/step of fixed Pallas
-    per-invocation overhead at the 3-D grid (320 invocations × ~10 µs,
-    reports/perf_profile.md:76-82); the full (Rp, O, H/W) weight tensors
-    fit VMEM comfortably (≤0.6 MB each at the 300-proposal test
-    geometry), so the r sweep runs as a fori_loop over VMEM-resident
-    inputs — B × C/CC invocations total, same arithmetic per chunk
+    """Grid (B, C//CC, Rp//slab): the slab's ROI chunks looped inside
+    one invocation (fori_loop over VMEM-resident inputs) — ~slab/RC
+    fewer invocations than the plain 3-D grid at ~10 µs fixed cost
+    each (reports/perf_profile.md:76-82), same arithmetic per chunk
     (bit-identical outputs, tests/test_roi_align_pallas.py)."""
     f = f_ref[0].astype(jnp.float32)  # (H, W, CC) — cast once, in-VMEM
     nchunks = wy_ref.shape[1] // rc
@@ -243,28 +239,47 @@ def _forward(
         transcendentals=0,
     )
     if roi_loop:
-        # 2-D grid, ROI sweep inside the kernel: B × C/CC invocations
-        # (vs B × C/CC × Rp/RC) — the per-invocation fixed cost was
-        # ~2.5 ms/step at the test geometry (perf_profile.md:76-82).
+        # ROI-slab grid with an in-kernel chunk loop: the r sweep runs
+        # as a fori_loop over RC-chunks INSIDE each invocation, cutting
+        # the per-invocation fixed cost (~2.5 ms/step at the 300-ROI
+        # test geometry, perf_profile.md:76-82) by the slab factor —
+        # but the slab is BOUNDED so the double-buffered (1, slab, O,
+        # O, CC) out block stays ≤ ~1.5 MB: a full-R out block VMEM-
+        # OOMed at the (4, 300, 7, 7, 1024) eval geometry (scoped-vmem
+        # 19.2 M > 16 M limit, observed round 5). r stays innermost so
+        # the fmap block remains VMEM-resident across the whole sweep.
+        cap_slab = max(
+            int(1.5e6) // (O * O * CC * fmap.dtype.itemsize), RC
+        )
+        k_max = max(cap_slab // RC, 1)
+        k = next(
+            (kk for kk in range(k_max, 0, -1) if Rp % (RC * kk) == 0), 1
+        )
+        slab = RC * k
+        pad2 = (-Rp) % slab
+        if pad2:
+            wy = jnp.pad(wy, ((0, 0), (0, pad2), (0, 0), (0, 0)))
+            wx = jnp.pad(wx, ((0, 0), (0, pad2), (0, 0), (0, 0)))
+            Rp += pad2
         out = pl.pallas_call(
             functools.partial(_kernel_roi_loop, RC),
-            grid=(B, C // CC),
+            grid=(B, C // CC, Rp // slab),
             in_specs=[
                 pl.BlockSpec(
-                    (1, Rp, O, H), lambda b, c: (b, 0, 0, 0),
+                    (1, slab, O, H), lambda b, c, r: (b, r, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, Rp, O, W), lambda b, c: (b, 0, 0, 0),
+                    (1, slab, O, W), lambda b, c, r: (b, r, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, H, W, CC), lambda b, c: (b, 0, 0, c),
+                    (1, H, W, CC), lambda b, c, r: (b, 0, 0, c),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, Rp, O, O, CC), lambda b, c: (b, 0, 0, 0, c),
+                (1, slab, O, O, CC), lambda b, c, r: (b, r, 0, 0, c),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((B, Rp, O, O, C), fmap.dtype),
@@ -303,4 +318,4 @@ def _forward(
             cost_estimate=cost,
             interpret=interpret,
         )(wy, wx, fmap)
-    return out[:, :R] if pad_r else out
+    return out[:, :R] if out.shape[1] != R else out

@@ -118,6 +118,11 @@ def test_train_steps_and_eval(tiny_setup):
     assert any("bbox_mAP" in t for t in tags)
     assert any("isegm_mAR" in t for t in tags)
     assert all(t.startswith("MNISTISEG_val_FT_Ignore/") for t in tags)
+    # The first pass STREAMS episodes into the cache (round 5: no
+    # serial list(loader) phase); a second pass must reuse it and
+    # reproduce the metrics exactly (same episodes, same graph).
+    assert ev._episode_cache is not None and len(ev._episode_cache) > 0
+    assert ev.run(params) == metrics
 
     # --- checkpoint round-trip -------------------------------------------
     from fgn_tpu.train.checkpoints import CheckpointManager
