@@ -36,10 +36,15 @@ eval_ds_cfg0 = dict(
     augment_qry=False,
     augment_spp=False,
     qry_mask_scale=1,
-    batch=4,
+    batch=8,
 )
 
 work_dir = "runs/mnistiseg_n1k1"
 batch_size = 12
-eval_batch_size = 4
+# Eval batch 8 (round 5; was 4): the eval pass is FETCH-bound on the
+# tunnel (~55 ms/batch fixed cost + ~22 ms of mask-logit bytes at
+# 15 MB/s — measured 77 ms/batch, reports/perf_profile.md round-5
+# section), and detections are computed per image, so doubling the
+# batch halves the per-image RTT tax with bit-identical metrics.
+eval_batch_size = 8
 max_gt = 12

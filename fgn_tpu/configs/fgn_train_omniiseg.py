@@ -36,10 +36,10 @@ eval_ds_cfg0 = dict(
     augment_qry=False,
     augment_spp=False,
     qry_mask_scale=1,
-    batch=4,
+    batch=8,
 )
 
 work_dir = "runs/omniiseg_n3k3"
 batch_size = 8
-eval_batch_size = 4
+eval_batch_size = 8  # fetch-bound eval: see fgn_train_mnistiseg_n1k1.py
 max_gt = 12

@@ -249,6 +249,11 @@ class Runner:
             return False
         step, state = restored
         self.step = step
+        # Fresh-but-deterministic sampling stream after a restart: the
+        # plain PRNGKey(seed) chain would REPLAY the step-0.. sampling
+        # keys from the middle of training (watchdog/RSS-relief restarts
+        # are routine on this host).
+        self.rng = jax.random.fold_in(self.rng, step)
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.epoch = int(state["extra"]["epoch"])
