@@ -64,10 +64,12 @@ def batch_heuristic(n_ways: int, k_shots: int) -> int:
     """Reference batch-size heuristic by (N, K)
     (main.py:487-501): N1K1 → 12, N3K1 → 10, N3K3 → 8.
 
-    N3K1 is capped at 8 here: the reference's batch-10 geometry kills
-    the TPU worker at step 0 (HBM exhaustion in the relation/NMS stage;
-    reproduced 3x in stage-1 and once via the FT grid, see RESULTS.md
-    "N3K1 batch-10 worker crash")."""
+    N3K1 is capped at 8 here for QUALITY, not memory: the rounds-3/4
+    "b10 HBM crash" was retired in round 5 (XLA peak 5.65/16 GB,
+    reports/hbm_budget.md; an 8-epoch b10 run completed crash-free —
+    fgn_train_mnistiseg_n3k1_b10.py), but b10 under-trains
+    way-classification on this data (0.235 vs 0.951 fresh bbox mAP,
+    RESULTS.md "N3K1 batch-10")."""
     if n_ways == 1 and k_shots == 1:
         return 12
     return 8
